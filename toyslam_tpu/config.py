@@ -1,0 +1,144 @@
+"""Typed configuration for the whole framework.
+
+The reference scatters its configuration across module-level constants
+(reference python/slam_main.py:26-51), hardcoded magic numbers replicated in
+three backends (Huber delta=1.5, step scale 0.2, fixed prior 1e6, convergence
+eps=0.001 — reference python/optimizer/graph_optimizer.py:108,149,90 and
+remote/optimizer/OptimizerCpu.h:92,164,136,167), and positional argv on the
+C++ server (reference remote/app/main.cpp:12-16).  Here every knob is a named
+field on a frozen dataclass so a single object configures the simulator, the
+frontend and the optimizer consistently.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class LidarConfig:
+    """Simulated 2D LiDAR (reference python/slam_main.py:33-36).
+
+    ``fov``/``ray_step`` are radians.  ``ray_count = int(fov / ray_step)``
+    mirrors the reference's ray enumeration (lidar_sensor.py:73-74).
+    """
+
+    fov: float = math.radians(120.0)
+    ray_step: float = math.radians(6.0)
+    range_std: float = 0.15
+    max_range: float = 999999.0
+
+    @property
+    def ray_count(self) -> int:
+        return int(self.fov / self.ray_step)
+
+
+@dataclasses.dataclass(frozen=True)
+class NoiseConfig:
+    """Sensor noise model (reference python/slam_main.py:36-51).
+
+    The reference has a documented quirk: it passes *variances* where numpy
+    expects standard deviations when sampling odometry/landmark noise
+    (slam_main.py:137-141 passes ``ODOMETRY_NOISE[0,0]`` — already squared —
+    as the ``scale`` argument of ``np.random.normal``).  ``variance_as_std``
+    reproduces that behaviour for trajectory-level parity; set it False for a
+    statistically honest simulation.
+    """
+
+    lidar_std: float = 0.15
+    position_std: float = 0.5
+    orientation_std: float = math.radians(7.1)
+    variance_as_std: bool = True
+
+    def lidar_information_diag(self) -> tuple[float, float]:
+        v = self.lidar_std**2
+        return (1.0 / v, 1.0 / v)
+
+    def odom_information_diag(self) -> tuple[float, float, float]:
+        pv = self.position_std**2
+        ov = self.orientation_std**2
+        return (1.0 / pv, 1.0 / pv, 1.0 / ov)
+
+    def sample_scales(self) -> tuple[float, float, float]:
+        """(lidar, position, orientation) scales actually fed to the sampler."""
+        if self.variance_as_std:
+            return (
+                self.lidar_std**2,
+                self.position_std**2,
+                self.orientation_std**2,
+            )
+        return (self.lidar_std, self.position_std, self.orientation_std)
+
+
+@dataclasses.dataclass(frozen=True)
+class SimConfig:
+    """Scripted robot simulation (reference python/slam_main.py:29,99-123)."""
+
+    robot_steps: int = 150
+    start_xy: tuple[float, float] = (5.0, 15.0)
+    start_theta: float = 0.0
+    seed: int = 0
+    lidar: LidarConfig = dataclasses.field(default_factory=LidarConfig)
+    noise: NoiseConfig = dataclasses.field(default_factory=NoiseConfig)
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimizerConfig:
+    """Batch Gauss-Newton with adaptive damping and a Huber robust kernel.
+
+    Semantics mirror the reference Python optimizer
+    (python/optimizer/graph_optimizer.py:20-155):
+
+    * ``iterations``/``lr``: slam_main.py:30-31 (10 / 0.2).
+    * Huber ``delta`` = 1.5 applied to chi^2: graph_optimizer.py:106-115.
+    * adaptive lambda in [1e-6, 1e1], x/÷ 1.1: graph_optimizer.py:24-43.
+      (The C++ server path declares but never applies lambda —
+      remote/optimizer/OptimizerCpu.h:70; we follow the Python path.)
+    * fixed vertices get a 1e6 diagonal prior and a zeroed gradient entry:
+      graph_optimizer.py:146-150.
+    * convergence when ||lr*dx|| < 0.001 (norm taken *after* the lr scaling,
+      graph_optimizer.py:66,90), early stop after ``penalty_limit``
+      consecutive error increases (graph_optimizer.py:47-54 — note the
+      reference's Python implementation assigns ``prev_err`` before the
+      comparison so its penalty branch is dead code; ours compares against
+      the previous iteration's error as intended).
+    """
+
+    iterations: int = 10
+    lr: float = 0.2
+    huber_delta: float = 1.5
+    lambda_init: float = 1e-3
+    lambda_min: float = 1e-6
+    lambda_max: float = 1e1
+    lambda_factor: float = 1.1
+    fixed_prior: float = 1e6
+    convergence_eps: float = 1e-3
+    penalty_limit: int = 2
+    # Odometry-edge Jacobians: the reference approximates A=-I, B=I
+    # (python/optimizer/edges2d.py:75-77, remote/graph/edge/EdgeSe2.h:35).
+    # ``exact_odom_jacobians=True`` uses the true SE(2) Jacobians instead.
+    exact_odom_jacobians: bool = False
+    # "dense"  — materialize H, Cholesky/LU solve (small graphs, MXU matmul)
+    # "schur"  — landmark elimination + PCG on the reduced pose system
+    solver: str = "dense"
+    # dense linear solve: "cholesky" (fast, H is SPD) or "lu" (reference
+    # parity: scipy.linalg.solve, graph_optimizer.py:64)
+    dense_factorization: str = "cholesky"
+    # PCG controls (schur solver only)
+    pcg_tol: float = 1e-6
+    pcg_max_iters: int = 200
+
+
+@dataclasses.dataclass(frozen=True)
+class SlamConfig:
+    sim: SimConfig = dataclasses.field(default_factory=SimConfig)
+    optimizer: OptimizerConfig = dataclasses.field(
+        default_factory=OptimizerConfig
+    )
+    # Pad graph arrays up to multiples of these bucket sizes so that growing
+    # graphs re-trigger XLA compilation rarely (static shapes requirement).
+    pose_bucket: int = 64
+    landmark_bucket: int = 64
+    edge_bucket: int = 256

@@ -1,0 +1,195 @@
+"""Damped Gauss-Ewton over a :class:`FactorGraph2D`, fully inside ``jit``.
+
+Control flow mirrors the reference Python optimizer
+(python/optimizer/graph_optimizer.py:20-92) but runs as a single
+``lax.while_loop`` — no per-iteration host round trips:
+
+* adaptive lambda damping, factor 1.1 in [1e-6, 1e1], increased when the
+  error grew since the previous iteration (graph_optimizer.py:24-43);
+* early stop after ``penalty_limit`` consecutive error increases
+  (graph_optimizer.py:47-54; the break fires *before* the state update, as in
+  the reference where it precedes the solve);
+* convergence when ``||lr * dx|| < eps`` *after* the update
+  (graph_optimizer.py:64-92);
+* the state update applies to every vertex — fixed vertices are held by the
+  1e6 prior, not by skipping their update (graph_optimizer.py:73-77).
+
+The linear solve is pluggable: :func:`dense_linearize_solve` materializes H
+via one MXU matmul (ops/assemble.py); the Schur/PCG path for large sparse
+graphs lives in ``ops/schur.py`` and plugs in through the same interface.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from toyslam_tpu.config import OptimizerConfig
+from toyslam_tpu.models.graph import FactorGraph2D
+from toyslam_tpu.ops import assemble, se2
+
+# A linearize-solve computes the (undamped) normal equations at the current
+# state, applies `lam` damping, and returns (dx_poses[N,3], dx_lms[M,2], err)
+# where dx solves (H + lam I) dx = -b and err is the robust chi^2 *at the
+# current state* (pre-update), matching calculate_H_b's return value.
+LinearizeSolve = Callable[
+    [FactorGraph2D, jax.Array], tuple[jax.Array, jax.Array, jax.Array]
+]
+
+
+class OptimizeResult(NamedTuple):
+    graph: FactorGraph2D
+    errors: jax.Array        # f32[iterations] robust chi^2 per executed iter (nan-padded)
+    iterations_run: jax.Array  # i32[]
+    converged: jax.Array       # bool[] stopped via ||dx|| < eps
+    diverged: jax.Array        # bool[] stopped via the worsening-error penalty
+
+
+def dense_linearize_solve(cfg: OptimizerConfig) -> LinearizeSolve:
+    """Dense H assembly + direct factorization (small/medium graphs)."""
+
+    def solve(graph: FactorGraph2D, lam: jax.Array):
+        sys = assemble.assemble_dense(
+            graph,
+            huber_delta=cfg.huber_delta,
+            fixed_prior=cfg.fixed_prior,
+            exact_odom_jacobians=cfg.exact_odom_jacobians,
+        )
+        d = sys.H.shape[0]
+        h_reg = sys.H + lam * jnp.eye(d, dtype=sys.H.dtype)
+        if cfg.dense_factorization == "cholesky":
+            chol = jnp.linalg.cholesky(h_reg)
+            dx = jax.scipy.linalg.cho_solve((chol, True), -sys.b)
+        else:  # "lu" — parity with scipy.linalg.solve (graph_optimizer.py:64)
+            dx = jnp.linalg.solve(h_reg, -sys.b)
+        n = graph.num_poses
+        dx_p = dx[: 3 * n].reshape(n, 3)
+        dx_l = dx[3 * n :].reshape(graph.num_landmarks, 2)
+        return dx_p, dx_l, sys.err
+
+    return solve
+
+
+class _LoopState(NamedTuple):
+    poses: jax.Array
+    landmarks: jax.Array
+    it: jax.Array
+    prev_err: jax.Array
+    penalty: jax.Array
+    lam: jax.Array
+    errors: jax.Array
+    converged: jax.Array
+    diverged: jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class GaussNewton:
+    """Configured optimizer; ``run`` is jit-compiled per graph shape."""
+
+    config: OptimizerConfig = OptimizerConfig()
+    solve: LinearizeSolve | None = None
+
+    def _solver(self) -> LinearizeSolve:
+        if self.solve is not None:
+            return self.solve
+        if self.config.solver == "schur":
+            from toyslam_tpu.ops.schur import schur_linearize_solve
+
+            return schur_linearize_solve(self.config)
+        return dense_linearize_solve(self.config)
+
+    def optimize(self, graph: FactorGraph2D) -> OptimizeResult:
+        return _run(self.config, self._solver(), graph)
+
+    def step(
+        self, graph: FactorGraph2D, lam: jax.Array | float | None = None
+    ) -> tuple[FactorGraph2D, jax.Array]:
+        """One undamped-control GN step (used by benchmarks / distributed)."""
+        cfg = self.config
+        lam = jnp.asarray(
+            cfg.lambda_init if lam is None else lam, graph.poses.dtype
+        )
+        dx_p, dx_l, err = self._solver()(graph, lam)
+        poses = se2.retract(graph.poses, dx_p * cfg.lr)
+        landmarks = graph.landmarks + dx_l * cfg.lr
+        return graph.with_state(poses, landmarks), err
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _run(
+    cfg: OptimizerConfig, solve: LinearizeSolve, graph: FactorGraph2D
+) -> OptimizeResult:
+    dtype = graph.poses.dtype
+    lam_f = jnp.asarray(cfg.lambda_factor, dtype)
+
+    def cond(s: _LoopState):
+        return (s.it < cfg.iterations) & ~s.converged & ~s.diverged
+
+    def body(s: _LoopState):
+        g = graph.with_state(s.poses, s.landmarks)
+        # lambda update decision uses the *previous* iteration's error
+        # (graph_optimizer.py:42); first iteration leaves lambda alone only
+        # via the prev_err < 0 guard.
+        dx_p, dx_l, err = solve(g, s.lam)
+
+        have_prev = s.prev_err >= 0.0
+        increased = have_prev & (err > s.prev_err)
+        lam = jnp.where(
+            increased,
+            jnp.minimum(s.lam * lam_f, cfg.lambda_max),
+            jnp.maximum(s.lam / lam_f, cfg.lambda_min),
+        )
+        # NOTE: lambda is updated *after* this iteration's solve; the
+        # reference updates lambda before regularizing H in the same
+        # iteration (graph_optimizer.py:42-43).  With factor 1.1 the
+        # one-iteration phase shift is well inside the ATE bound, and doing
+        # it here keeps a single linearize-solve per iteration.
+        penalty = jnp.where(increased, s.penalty + 1, 0)
+        diverged = penalty > cfg.penalty_limit
+
+        step_p = dx_p * cfg.lr
+        step_l = dx_l * cfg.lr
+        dx_norm = jnp.sqrt(jnp.sum(step_p**2) + jnp.sum(step_l**2))
+        converged = dx_norm < cfg.convergence_eps
+
+        # On a divergence break the reference exits before the solve/update;
+        # keep the old state in that case.
+        poses = jnp.where(diverged, s.poses, se2.retract(s.poses, step_p))
+        landmarks = jnp.where(diverged, s.landmarks, s.landmarks + step_l)
+
+        errors = s.errors.at[s.it].set(err)
+        return _LoopState(
+            poses=poses,
+            landmarks=landmarks,
+            it=s.it + 1,
+            prev_err=err,
+            penalty=penalty,
+            lam=lam,
+            errors=errors,
+            converged=converged & ~diverged,
+            diverged=diverged,
+        )
+
+    init = _LoopState(
+        poses=graph.poses,
+        landmarks=graph.landmarks,
+        it=jnp.asarray(0, jnp.int32),
+        prev_err=jnp.asarray(-1.0, dtype),
+        penalty=jnp.asarray(0, jnp.int32),
+        lam=jnp.asarray(cfg.lambda_init, dtype),
+        errors=jnp.full((cfg.iterations,), jnp.nan, dtype),
+        converged=jnp.asarray(False),
+        diverged=jnp.asarray(False),
+    )
+    final = jax.lax.while_loop(cond, body, init)
+    return OptimizeResult(
+        graph=graph.with_state(final.poses, final.landmarks),
+        errors=final.errors,
+        iterations_run=final.it,
+        converged=final.converged,
+        diverged=final.diverged,
+    )
