@@ -1,0 +1,369 @@
+"""Block-sparse normal equations with Schur-complement landmark elimination.
+
+The reference always materializes a dense ``D x D`` Hessian and solves it
+with dense QR/LU (python/optimizer/graph_optimizer.py:105,64; CUDA dense QR
+remote/cuda/solver/SolverCudaQr.h:44-81) — O(D^2) memory caps it at small
+graphs.  SLAM Hessians are block-sparse with an arrowhead structure: the
+landmark-landmark block ``Hll`` is block-diagonal (2x2 per landmark), so
+landmarks can be eliminated locally and the reduced pose system
+
+    S = Hpp - Hpl Hll^-1 Hlp,     S dx_p = -b_p + Hpl Hll^-1 b_l
+
+solved by preconditioned conjugate gradients with a *matrix-free* matvec:
+``S x`` only needs per-edge 3x3/3x2 block products and deterministic
+``segment_sum`` scatters — never a dense matrix.  This is the scaling path
+for the ~10k-pose configs and the unit of distribution (each device owns a
+shard of edges/landmarks; ``S x`` partials reduce over the mesh — see
+``parallel/distributed.py``).
+
+Memory: O(N·9 + M·4 + E1·9 + E2·6) floats — linear in the graph.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from toyslam_tpu.config import OptimizerConfig
+from toyslam_tpu.models.graph import FactorGraph2D
+from toyslam_tpu.ops import residuals as res_ops
+
+
+def _maybe_psum(x, axis_name):
+    """psum when running inside shard_map; identity single-device.
+
+    Every reduction in this module that crosses the edge/landmark shard
+    boundary funnels through here, so the identical code path serves one
+    chip or a whole mesh (parallel/distributed.py).
+    """
+    if axis_name is None:
+        return x
+    return jax.lax.psum(x, axis_name)
+
+
+class BlockSystem(NamedTuple):
+    """Undamped block-sparse normal equations (gauge priors included)."""
+
+    hpp_diag: jax.Array   # f32[N,3,3] pose diagonal blocks
+    hpp_off: jax.Array    # f32[E1,3,3] odometry off-diagonal block at (i, j)
+    hll: jax.Array        # f32[M,2,2] landmark diagonal blocks
+    hpl: jax.Array        # f32[E2,3,2] pose-landmark coupling block per edge
+    bp: jax.Array         # f32[N,3] pose gradient
+    bl: jax.Array         # f32[M,2] landmark gradient
+    err: jax.Array        # f32[] robust chi^2
+
+
+def assemble_blocks(
+    graph: FactorGraph2D,
+    huber_delta: float,
+    fixed_prior: float = 1e6,
+    exact_odom_jacobians: bool = False,
+    axis_name: str | None = None,
+) -> BlockSystem:
+    """Same math as ops/assemble.py but materializing only the sparse blocks.
+
+    With ``axis_name`` set (inside shard_map, edge arrays sharded), the
+    per-vertex reductions are psum'd so every device holds the complete
+    diagonal blocks/gradients while the off-diagonal per-edge blocks
+    (``hpp_off``, ``hpl``) stay shard-local.
+    """
+    n, m = graph.num_poses, graph.num_landmarks
+
+    od = res_ops.eval_odom_edges(
+        graph.poses,
+        graph.odom.i,
+        graph.odom.j,
+        graph.odom.meas,
+        graph.odom.info,
+        graph.odom.mask,
+        huber_delta,
+        exact=exact_odom_jacobians,
+    )
+    lme = res_ops.eval_landmark_edges(
+        graph.poses,
+        graph.landmarks,
+        graph.lm_edges.pose,
+        graph.lm_edges.lm,
+        graph.lm_edges.meas,
+        graph.lm_edges.info,
+        graph.lm_edges.mask,
+        huber_delta,
+    )
+
+    w_od = od.w[:, None, None] * graph.odom.info          # [E1,3,3]
+    w_lm = lme.w[:, None, None] * graph.lm_edges.info     # [E2,2,2]
+
+    # --- odometry contributions --------------------------------------
+    ata = jnp.einsum("eba,ebc,ecd->ead", od.JA, w_od, od.JA)
+    btb = jnp.einsum("eba,ebc,ecd->ead", od.JB, w_od, od.JB)
+    atb = jnp.einsum("eba,ebc,ecd->ead", od.JA, w_od, od.JB)
+    bp = jax.ops.segment_sum(
+        jnp.einsum("eba,ebc,ec->ea", od.JA, w_od, od.r), graph.odom.i, n
+    )
+    bp = bp + jax.ops.segment_sum(
+        jnp.einsum("eba,ebc,ec->ea", od.JB, w_od, od.r), graph.odom.j, n
+    )
+    hpp_diag = jax.ops.segment_sum(ata, graph.odom.i, n)
+    hpp_diag = hpp_diag + jax.ops.segment_sum(btb, graph.odom.j, n)
+    hpp_off = atb
+
+    # --- landmark contributions --------------------------------------
+    ata2 = jnp.einsum("eba,ebc,ecd->ead", lme.JA, w_lm, lme.JA)   # [E2,3,3]
+    btb2 = jnp.einsum("eba,ebc,ecd->ead", lme.JB, w_lm, lme.JB)   # [E2,2,2]
+    hpl = jnp.einsum("eba,ebc,ecd->ead", lme.JA, w_lm, lme.JB)    # [E2,3,2]
+    hpp_diag = hpp_diag + jax.ops.segment_sum(ata2, graph.lm_edges.pose, n)
+    hll = jax.ops.segment_sum(btb2, graph.lm_edges.lm, m)
+    bp = bp + jax.ops.segment_sum(
+        jnp.einsum("eba,ebc,ec->ea", lme.JA, w_lm, lme.r),
+        graph.lm_edges.pose,
+        n,
+    )
+    bl = jax.ops.segment_sum(
+        jnp.einsum("eba,ebc,ec->ea", lme.JB, w_lm, lme.r),
+        graph.lm_edges.lm,
+        m,
+    )
+
+    # Cross-shard reduction of everything indexed per-vertex; per-edge
+    # blocks stay local to their shard.
+    hpp_diag = _maybe_psum(hpp_diag, axis_name)
+    hll = _maybe_psum(hll, axis_name)
+    bp = _maybe_psum(bp, axis_name)
+    bl = _maybe_psum(bl, axis_name)
+
+    # --- gauge priors + padding regularization -----------------------
+    eye3 = jnp.eye(3, dtype=hpp_diag.dtype)
+    eye2 = jnp.eye(2, dtype=hll.dtype)
+    pose_reg = fixed_prior * graph.pose_fixed + (1.0 - graph.pose_mask)
+    lm_reg = fixed_prior * graph.lm_fixed + (1.0 - graph.lm_mask)
+    hpp_diag = hpp_diag + pose_reg[:, None, None] * eye3
+    hll = hll + lm_reg[:, None, None] * eye2
+    bp = bp * (1.0 - graph.pose_fixed)[:, None]
+    bl = bl * (1.0 - graph.lm_fixed)[:, None]
+
+    err = _maybe_psum(
+        jnp.sum(od.robust_err) + jnp.sum(lme.robust_err), axis_name
+    )
+    return BlockSystem(
+        hpp_diag=hpp_diag, hpp_off=hpp_off, hll=hll, hpl=hpl,
+        bp=bp, bl=bl, err=err,
+    )
+
+
+def damp(sys: BlockSystem, lam: jax.Array) -> BlockSystem:
+    """Add ``lam I`` to every diagonal, matching the dense path's
+    ``H + lam*eye(D)`` (graph_optimizer.py:43)."""
+    eye3 = jnp.eye(3, dtype=sys.hpp_diag.dtype)
+    eye2 = jnp.eye(2, dtype=sys.hll.dtype)
+    return sys._replace(
+        hpp_diag=sys.hpp_diag + lam * eye3,
+        hll=sys.hll + lam * eye2,
+    )
+
+
+def inv2x2(blocks: jax.Array) -> jax.Array:
+    """Closed-form batched 2x2 inverse — the Schur pivot."""
+    a = blocks[..., 0, 0]
+    b = blocks[..., 0, 1]
+    c = blocks[..., 1, 0]
+    d = blocks[..., 1, 1]
+    det = a * d - b * c
+    inv_det = 1.0 / det
+    row0 = jnp.stack([d * inv_det, -b * inv_det], axis=-1)
+    row1 = jnp.stack([-c * inv_det, a * inv_det], axis=-1)
+    return jnp.stack([row0, row1], axis=-2)
+
+
+def hpp_matvec(
+    sys: BlockSystem, odom_i: jax.Array, odom_j: jax.Array, x: jax.Array,
+    axis_name: str | None = None,
+) -> jax.Array:
+    """``Hpp @ x`` for ``x [N, 3]`` using only blocks.
+
+    ``sys.hpp_diag`` is replicated-complete; the off-diagonal products run
+    over the local edge shard and reduce across the mesh.
+    """
+    n = x.shape[0]
+    off = jax.ops.segment_sum(
+        jnp.einsum("eab,eb->ea", sys.hpp_off, x[odom_j]), odom_i, n
+    )
+    off = off + jax.ops.segment_sum(
+        jnp.einsum("eba,eb->ea", sys.hpp_off, x[odom_i]), odom_j, n
+    )
+    return jnp.einsum("nab,nb->na", sys.hpp_diag, x) + _maybe_psum(
+        off, axis_name
+    )
+
+
+def hlp_matvec(
+    sys: BlockSystem, lm_pose: jax.Array, lm_lm: jax.Array, x: jax.Array,
+    num_landmarks: int,
+    axis_name: str | None = None,
+) -> jax.Array:
+    """``Hlp @ x = Hpl^T @ x`` -> [M, 2]."""
+    return _maybe_psum(
+        jax.ops.segment_sum(
+            jnp.einsum("eba,eb->ea", sys.hpl, x[lm_pose]), lm_lm,
+            num_landmarks,
+        ),
+        axis_name,
+    )
+
+
+def hpl_matvec(
+    sys: BlockSystem, lm_pose: jax.Array, lm_lm: jax.Array, y: jax.Array,
+    num_poses: int,
+    axis_name: str | None = None,
+) -> jax.Array:
+    """``Hpl @ y`` for ``y [M, 2]`` -> [N, 3]."""
+    return _maybe_psum(
+        jax.ops.segment_sum(
+            jnp.einsum("eab,eb->ea", sys.hpl, y[lm_lm]), lm_pose, num_poses
+        ),
+        axis_name,
+    )
+
+
+def schur_matvec(
+    sys: BlockSystem,
+    hll_inv: jax.Array,
+    graph: FactorGraph2D,
+    x: jax.Array,
+    axis_name: str | None = None,
+) -> jax.Array:
+    """``S @ x`` without materializing S."""
+    u = hlp_matvec(sys, graph.lm_edges.pose, graph.lm_edges.lm, x,
+                   graph.num_landmarks, axis_name)
+    v = jnp.einsum("mab,mb->ma", hll_inv, u)
+    w = hpl_matvec(sys, graph.lm_edges.pose, graph.lm_edges.lm, v,
+                   graph.num_poses, axis_name)
+    return hpp_matvec(sys, graph.odom.i, graph.odom.j, x, axis_name) - w
+
+
+def schur_preconditioner(
+    sys: BlockSystem, hll_inv: jax.Array, graph: FactorGraph2D,
+    axis_name: str | None = None,
+) -> jax.Array:
+    """Inverse block-Jacobi of S: ``[N, 3, 3]``.
+
+    Exact S diagonal blocks when each (pose, landmark) pair is observed by a
+    single edge (true for the per-frame frontend); an approximation (and a
+    perfectly valid preconditioner) otherwise.
+    """
+    contrib = jnp.einsum(
+        "eab,ebc,edc->ead", sys.hpl, hll_inv[graph.lm_edges.lm], sys.hpl
+    )
+    s_diag = sys.hpp_diag - _maybe_psum(
+        jax.ops.segment_sum(contrib, graph.lm_edges.pose, graph.num_poses),
+        axis_name,
+    )
+    return jnp.linalg.inv(s_diag)
+
+
+class PCGResult(NamedTuple):
+    x: jax.Array
+    iterations: jax.Array
+    residual_norm: jax.Array
+
+
+def pcg(
+    matvec, precond_apply, rhs: jax.Array, tol: float, max_iters: int
+) -> PCGResult:
+    """Preconditioned conjugate gradients over pose-space ``[N, 3]`` arrays.
+
+    Stock PCG; every operation is a fused batched block product or a
+    reduction, so the loop jits to a tight on-device while_loop.
+    """
+
+    def dot(a, b):
+        return jnp.vdot(a, b)
+
+    rhs_norm = jnp.sqrt(dot(rhs, rhs))
+    atol2 = (tol * rhs_norm) ** 2
+
+    x0 = jnp.zeros_like(rhs)
+    r0 = rhs
+    z0 = precond_apply(r0)
+    p0 = z0
+    rz0 = dot(r0, z0)
+
+    def cond(state):
+        _, r, _, _, it, _ = state
+        return (it < max_iters) & (dot(r, r) > atol2)
+
+    def body(state):
+        x, r, p, rz, it, _ = state
+        ap = matvec(p)
+        alpha = rz / dot(p, ap)
+        x = x + alpha * p
+        r = r - alpha * ap
+        z = precond_apply(r)
+        rz_new = dot(r, z)
+        beta = rz_new / rz
+        p = z + beta * p
+        return (x, r, p, rz_new, it + 1, jnp.sqrt(dot(r, r)))
+
+    x, r, p, rz, it, rn = jax.lax.while_loop(
+        cond, body, (x0, r0, p0, rz0, jnp.asarray(0, jnp.int32), rhs_norm)
+    )
+    return PCGResult(x=x, iterations=it, residual_norm=jnp.sqrt(dot(r, r)))
+
+
+def schur_solve(
+    sys: BlockSystem,
+    graph: FactorGraph2D,
+    lam: jax.Array,
+    tol: float,
+    max_iters: int,
+    axis_name: str | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Solve ``(H + lam I) dx = -b`` via Schur elimination + PCG.
+
+    Returns ``(dx_poses [N,3], dx_landmarks [M,2])``.  Under shard_map the
+    PCG state lives replicated on every device; only the matvec partials
+    cross the mesh (one [N,3] psum per iteration — rides ICI).
+    """
+    d = damp(sys, lam)
+    hll_inv = inv2x2(d.hll)
+
+    rhs = -d.bp + hpl_matvec(
+        d, graph.lm_edges.pose, graph.lm_edges.lm,
+        jnp.einsum("mab,mb->ma", hll_inv, d.bl), graph.num_poses, axis_name,
+    )
+    m_inv = schur_preconditioner(d, hll_inv, graph, axis_name)
+
+    res = pcg(
+        matvec=lambda x: schur_matvec(d, hll_inv, graph, x, axis_name),
+        precond_apply=lambda r: jnp.einsum("nab,nb->na", m_inv, r),
+        rhs=rhs,
+        tol=tol,
+        max_iters=max_iters,
+    )
+    dx_p = res.x
+    u = hlp_matvec(
+        d, graph.lm_edges.pose, graph.lm_edges.lm, dx_p,
+        graph.num_landmarks, axis_name,
+    )
+    dx_l = jnp.einsum("mab,mb->ma", hll_inv, -d.bl - u)
+    return dx_p, dx_l
+
+
+def schur_linearize_solve(cfg: OptimizerConfig, axis_name: str | None = None):
+    """LinearizeSolve implementation plugging into GaussNewton."""
+
+    def solve(graph: FactorGraph2D, lam: jax.Array):
+        sys = assemble_blocks(
+            graph,
+            huber_delta=cfg.huber_delta,
+            fixed_prior=cfg.fixed_prior,
+            exact_odom_jacobians=cfg.exact_odom_jacobians,
+            axis_name=axis_name,
+        )
+        dx_p, dx_l = schur_solve(
+            sys, graph, lam, cfg.pcg_tol, cfg.pcg_max_iters, axis_name
+        )
+        return dx_p, dx_l, sys.err
+
+    return solve

@@ -1,0 +1,74 @@
+"""Distributed bundle adjustment: shard_map over edges + psum reductions.
+
+Layout: pose and landmark *states* are replicated (they are tiny next to the
+edge set); odometry and landmark *edges* are sharded along the mesh's edge
+axis.  Each device linearizes its edge shard, the per-vertex reductions
+(diagonal blocks, gradients, chi^2) psum across the mesh once per
+linearization, and PCG runs replicated with one ``[N,3]`` psum per matvec —
+exactly the collective-Schur-reduction design BASELINE.json's north star
+asks for, in place of the reference's socket-based remote optimizer
+(python/remote/graph_client.py:16-52 ↔ remote/app/ConnectionHandler.h:14-37).
+
+Everything funnels through the same ``ops/schur.py`` code with
+``axis_name`` set — the distributed path *is* the single-chip path plus
+collectives, so correctness tests can diff the two directly.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from toyslam_tpu.config import OptimizerConfig
+from toyslam_tpu.models.graph import FactorGraph2D, LandmarkEdges, OdomEdges
+from toyslam_tpu.ops import schur
+from toyslam_tpu.parallel.mesh import EDGE_AXIS, pad_edges_for_mesh
+
+
+def graph_shard_specs(axis: str = EDGE_AXIS) -> FactorGraph2D:
+    """PartitionSpec pytree for a FactorGraph2D: edges sharded, states
+    replicated."""
+    e = P(axis)
+    r = P()
+    return FactorGraph2D(
+        poses=r,
+        landmarks=r,
+        pose_mask=r,
+        lm_mask=r,
+        pose_fixed=r,
+        lm_fixed=r,
+        odom=OdomEdges(i=e, j=e, meas=e, info=e, mask=e),
+        lm_edges=LandmarkEdges(pose=e, lm=e, meas=e, info=e, mask=e),
+    )
+
+
+def distributed_linearize_solve(
+    cfg: OptimizerConfig, mesh: Mesh, axis: str = EDGE_AXIS
+):
+    """A LinearizeSolve that runs the Schur/PCG solve across ``mesh``.
+
+    Plugs into ``GaussNewton(config, solve=...)`` unchanged — the outer
+    damping/convergence loop is oblivious to the distribution.
+    """
+    inner = schur.schur_linearize_solve(cfg, axis_name=axis)
+    specs = graph_shard_specs(axis)
+
+    sharded = shard_map(
+        inner,
+        mesh=mesh,
+        in_specs=(specs, P()),
+        out_specs=(P(), P(), P()),
+        check_rep=False,
+    )
+
+    n_dev = mesh.shape[axis]
+
+    def solve(graph: FactorGraph2D, lam: jax.Array):
+        graph = pad_edges_for_mesh(graph, n_dev)
+        return sharded(graph, lam)
+
+    return solve
