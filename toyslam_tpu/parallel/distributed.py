@@ -62,7 +62,6 @@ def distributed_linearize_solve(
         mesh=mesh,
         in_specs=(specs, P()),
         out_specs=(P(), P(), P()),
-        check_rep=False,
     )
 
     n_dev = mesh.shape[axis]
