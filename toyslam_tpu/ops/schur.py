@@ -28,6 +28,7 @@ import jax.numpy as jnp
 
 from toyslam_tpu.config import OptimizerConfig
 from toyslam_tpu.models.graph import FactorGraph2D
+from toyslam_tpu.ops.precision import einsum
 from toyslam_tpu.ops import residuals as res_ops
 
 
@@ -96,32 +97,32 @@ def assemble_blocks(
     w_lm = lme.w[:, None, None] * graph.lm_edges.info     # [E2,2,2]
 
     # --- odometry contributions --------------------------------------
-    ata = jnp.einsum("eba,ebc,ecd->ead", od.JA, w_od, od.JA)
-    btb = jnp.einsum("eba,ebc,ecd->ead", od.JB, w_od, od.JB)
-    atb = jnp.einsum("eba,ebc,ecd->ead", od.JA, w_od, od.JB)
+    ata = einsum("eba,ebc,ecd->ead", od.JA, w_od, od.JA)
+    btb = einsum("eba,ebc,ecd->ead", od.JB, w_od, od.JB)
+    atb = einsum("eba,ebc,ecd->ead", od.JA, w_od, od.JB)
     bp = jax.ops.segment_sum(
-        jnp.einsum("eba,ebc,ec->ea", od.JA, w_od, od.r), graph.odom.i, n
+        einsum("eba,ebc,ec->ea", od.JA, w_od, od.r), graph.odom.i, n
     )
     bp = bp + jax.ops.segment_sum(
-        jnp.einsum("eba,ebc,ec->ea", od.JB, w_od, od.r), graph.odom.j, n
+        einsum("eba,ebc,ec->ea", od.JB, w_od, od.r), graph.odom.j, n
     )
     hpp_diag = jax.ops.segment_sum(ata, graph.odom.i, n)
     hpp_diag = hpp_diag + jax.ops.segment_sum(btb, graph.odom.j, n)
     hpp_off = atb
 
     # --- landmark contributions --------------------------------------
-    ata2 = jnp.einsum("eba,ebc,ecd->ead", lme.JA, w_lm, lme.JA)   # [E2,3,3]
-    btb2 = jnp.einsum("eba,ebc,ecd->ead", lme.JB, w_lm, lme.JB)   # [E2,2,2]
-    hpl = jnp.einsum("eba,ebc,ecd->ead", lme.JA, w_lm, lme.JB)    # [E2,3,2]
+    ata2 = einsum("eba,ebc,ecd->ead", lme.JA, w_lm, lme.JA)   # [E2,3,3]
+    btb2 = einsum("eba,ebc,ecd->ead", lme.JB, w_lm, lme.JB)   # [E2,2,2]
+    hpl = einsum("eba,ebc,ecd->ead", lme.JA, w_lm, lme.JB)    # [E2,3,2]
     hpp_diag = hpp_diag + jax.ops.segment_sum(ata2, graph.lm_edges.pose, n)
     hll = jax.ops.segment_sum(btb2, graph.lm_edges.lm, m)
     bp = bp + jax.ops.segment_sum(
-        jnp.einsum("eba,ebc,ec->ea", lme.JA, w_lm, lme.r),
+        einsum("eba,ebc,ec->ea", lme.JA, w_lm, lme.r),
         graph.lm_edges.pose,
         n,
     )
     bl = jax.ops.segment_sum(
-        jnp.einsum("eba,ebc,ec->ea", lme.JB, w_lm, lme.r),
+        einsum("eba,ebc,ec->ea", lme.JB, w_lm, lme.r),
         graph.lm_edges.lm,
         m,
     )
@@ -187,12 +188,12 @@ def hpp_matvec(
     """
     n = x.shape[0]
     off = jax.ops.segment_sum(
-        jnp.einsum("eab,eb->ea", sys.hpp_off, x[odom_j]), odom_i, n
+        einsum("eab,eb->ea", sys.hpp_off, x[odom_j]), odom_i, n
     )
     off = off + jax.ops.segment_sum(
-        jnp.einsum("eba,eb->ea", sys.hpp_off, x[odom_i]), odom_j, n
+        einsum("eba,eb->ea", sys.hpp_off, x[odom_i]), odom_j, n
     )
-    return jnp.einsum("nab,nb->na", sys.hpp_diag, x) + _maybe_psum(
+    return einsum("nab,nb->na", sys.hpp_diag, x) + _maybe_psum(
         off, axis_name
     )
 
@@ -205,7 +206,7 @@ def hlp_matvec(
     """``Hlp @ x = Hpl^T @ x`` -> [M, 2]."""
     return _maybe_psum(
         jax.ops.segment_sum(
-            jnp.einsum("eba,eb->ea", sys.hpl, x[lm_pose]), lm_lm,
+            einsum("eba,eb->ea", sys.hpl, x[lm_pose]), lm_lm,
             num_landmarks,
         ),
         axis_name,
@@ -220,7 +221,7 @@ def hpl_matvec(
     """``Hpl @ y`` for ``y [M, 2]`` -> [N, 3]."""
     return _maybe_psum(
         jax.ops.segment_sum(
-            jnp.einsum("eab,eb->ea", sys.hpl, y[lm_lm]), lm_pose, num_poses
+            einsum("eab,eb->ea", sys.hpl, y[lm_lm]), lm_pose, num_poses
         ),
         axis_name,
     )
@@ -236,7 +237,7 @@ def schur_matvec(
     """``S @ x`` without materializing S."""
     u = hlp_matvec(sys, graph.lm_edges.pose, graph.lm_edges.lm, x,
                    graph.num_landmarks, axis_name)
-    v = jnp.einsum("mab,mb->ma", hll_inv, u)
+    v = einsum("mab,mb->ma", hll_inv, u)
     w = hpl_matvec(sys, graph.lm_edges.pose, graph.lm_edges.lm, v,
                    graph.num_poses, axis_name)
     return hpp_matvec(sys, graph.odom.i, graph.odom.j, x, axis_name) - w
@@ -252,7 +253,7 @@ def schur_preconditioner(
     single edge (true for the per-frame frontend); an approximation (and a
     perfectly valid preconditioner) otherwise.
     """
-    contrib = jnp.einsum(
+    contrib = einsum(
         "eab,ebc,edc->ead", sys.hpl, hll_inv[graph.lm_edges.lm], sys.hpl
     )
     s_diag = sys.hpp_diag - _maybe_psum(
@@ -330,13 +331,13 @@ def schur_solve(
 
     rhs = -d.bp + hpl_matvec(
         d, graph.lm_edges.pose, graph.lm_edges.lm,
-        jnp.einsum("mab,mb->ma", hll_inv, d.bl), graph.num_poses, axis_name,
+        einsum("mab,mb->ma", hll_inv, d.bl), graph.num_poses, axis_name,
     )
     m_inv = schur_preconditioner(d, hll_inv, graph, axis_name)
 
     res = pcg(
         matvec=lambda x: schur_matvec(d, hll_inv, graph, x, axis_name),
-        precond_apply=lambda r: jnp.einsum("nab,nb->na", m_inv, r),
+        precond_apply=lambda r: einsum("nab,nb->na", m_inv, r),
         rhs=rhs,
         tol=tol,
         max_iters=max_iters,
@@ -346,7 +347,7 @@ def schur_solve(
         d, graph.lm_edges.pose, graph.lm_edges.lm, dx_p,
         graph.num_landmarks, axis_name,
     )
-    dx_l = jnp.einsum("mab,mb->ma", hll_inv, -d.bl - u)
+    dx_l = einsum("mab,mb->ma", hll_inv, -d.bl - u)
     return dx_p, dx_l
 
 

@@ -2,19 +2,29 @@
 
 Replaces the reference's per-frame ``step()`` accumulation into ``Graph2d``
 and its later conversion to the optimization graph
-(python/slam_main.py:99-187, python/slam/slam_helper.py:4-19): the simulation
-(trajectory integration, all scans, all noise) runs as fused JAX computations
-up front; the host then assembles the structs-of-arrays graph in one pass.
+(python/slam_main.py:99-187, python/slam/slam_helper.py:4-19).
+
+Two simulation paths:
+
+* :func:`simulate` (default) — **deterministic host frontend**: float64
+  numpy geometry + a seeded numpy RNG, bit-identical on every platform.
+  This mirrors the reference's architecture (its whole frontend is numpy
+  float64 on the host; only optimization is offloaded) and guarantees the
+  benchmark problem instance is the same no matter which backend builds it.
+  f32 backends disagree in the last ulp of trig/fma, which flips grazing-ray
+  hit decisions and silently changes the problem (observed: chi^2 135428 vs
+  116126 for the "same" seed).
+* :func:`simulate_jax` — the fully-on-device pipeline (fused XLA sim) for
+  workloads that want scan generation on the TPU itself.
 
 Noise semantics matched to the reference:
 
 * odometry: additive Gaussian on each step transform's (dx, dy, dtheta)
   (slam_main.py:137-142);
-* landmarks: noise is added to the *body-frame euclidean* point, which is
-  then re-encoded as (range, bearing) for the measurement and pushed through
-  the *dead-reckoned* (noisy) pose for the landmark's first-seen global
-  estimate (slam_helper.py:4-16);
-* the first pose is gauge-fixed (slam_main.py:87: ``is_fixed=True``).
+* landmarks: noise added to the *body-frame euclidean* point, re-encoded as
+  (range, bearing) for the measurement, pushed through the *dead-reckoned*
+  pose for the landmark's first-seen global estimate (slam_helper.py:4-16);
+* the first pose is gauge-fixed (slam_main.py:87).
 """
 
 from __future__ import annotations
@@ -34,21 +44,100 @@ from toyslam_tpu.sim import lidar, trajectory
 
 
 class SimulationResult(NamedTuple):
-    poses_gt: jax.Array    # f32[T,3] ground-truth trajectory
-    poses_dr: jax.Array    # f32[T,3] dead-reckoned (noisy odometry) trajectory
-    odom_gt: jax.Array     # f32[T-1,3] scripted controls
-    odom_meas: jax.Array   # f32[T-1,3] noisy odometry measurements
-    meas: jax.Array        # f32[T,R,2] noisy (range, bearing) per ray
-    meas_gt: jax.Array     # f32[T,R,2] noise-free measurements
-    lm_global: jax.Array   # f32[T,R,2] first-seen candidate world estimates
-    ids: jax.Array         # i32[T,R] ground-truth obstacle id (-1 invalid)
-    valid: jax.Array       # bool[T,R]
-    env: jax.Array         # f32[P,2]
+    poses_gt: np.ndarray   # f32[T,3] ground-truth trajectory
+    poses_dr: np.ndarray   # f32[T,3] dead-reckoned (noisy odometry) trajectory
+    odom_gt: np.ndarray    # f32[T-1,3] scripted controls
+    odom_meas: np.ndarray  # f32[T-1,3] noisy odometry measurements
+    meas: np.ndarray       # f32[T,R,2] noisy (range, bearing) per ray
+    meas_gt: np.ndarray    # f32[T,R,2] noise-free measurements
+    lm_global: np.ndarray  # f32[T,R,2] first-seen candidate world estimates
+    ids: np.ndarray        # i32[T,R] ground-truth obstacle id (-1 invalid)
+    valid: np.ndarray      # bool[T,R]
+    env: np.ndarray        # f32[P,2]
     radius: float
 
 
+def _integrate_np(start: np.ndarray, controls: np.ndarray) -> np.ndarray:
+    """Float64 sequential SE(2) compose (tiny: one pass over the tape)."""
+    out = np.empty((controls.shape[0] + 1, 3), np.float64)
+    out[0] = start
+    x, y, th = start
+    for k, (dx, dy, dth) in enumerate(controls):
+        c, s = np.cos(th), np.sin(th)
+        x, y = x + c * dx - s * dy, y + s * dx + c * dy
+        th = np.arctan2(np.sin(th + dth), np.cos(th + dth))
+        out[k + 1] = (x, y, th)
+    return out
+
+
+def simulate(
+    config: SimConfig, rng: Optional[np.random.Generator] = None
+) -> SimulationResult:
+    """Deterministic host-side simulation (float64 numpy)."""
+    if rng is None:
+        rng = np.random.default_rng(config.seed)
+    env, radius = env_mod.load_environment()
+    controls = trajectory.scripted_controls(config.robot_steps - 1).astype(
+        np.float64
+    )
+    start = np.array(
+        [config.start_xy[0], config.start_xy[1], config.start_theta],
+        np.float64,
+    )
+    lidar_scale, pos_scale, ang_scale = config.noise.sample_scales()
+
+    poses_gt = _integrate_np(start, controls)
+    meas_gt, ids, valid = lidar.scan_trajectory_np(
+        poses_gt, env, radius, config.lidar.fov, config.lidar.ray_count
+    )
+
+    odom_meas = controls + rng.normal(
+        0.0, [pos_scale, pos_scale, ang_scale], controls.shape
+    )
+    odom_meas[:, 2] = np.arctan2(
+        np.sin(odom_meas[:, 2]), np.cos(odom_meas[:, 2])
+    )
+    poses_dr = _integrate_np(start, odom_meas)
+
+    mg = meas_gt.astype(np.float64)
+    local = np.stack(
+        [mg[..., 0] * np.cos(mg[..., 1]), mg[..., 0] * np.sin(mg[..., 1])],
+        axis=-1,
+    )
+    local = local + rng.normal(0.0, lidar_scale, local.shape)
+    meas = np.stack(
+        [
+            np.linalg.norm(local, axis=-1),
+            np.arctan2(local[..., 1], local[..., 0]),
+        ],
+        axis=-1,
+    )
+    c = np.cos(poses_dr[:, 2])[:, None]
+    s = np.sin(poses_dr[:, 2])[:, None]
+    lm_global = np.stack(
+        [
+            poses_dr[:, 0][:, None] + c * local[..., 0] - s * local[..., 1],
+            poses_dr[:, 1][:, None] + s * local[..., 0] + c * local[..., 1],
+        ],
+        axis=-1,
+    )
+    return SimulationResult(
+        poses_gt=poses_gt.astype(np.float32),
+        poses_dr=poses_dr.astype(np.float32),
+        odom_gt=controls.astype(np.float32),
+        odom_meas=odom_meas.astype(np.float32),
+        meas=meas.astype(np.float32),
+        meas_gt=meas_gt,
+        lm_global=lm_global.astype(np.float32),
+        ids=ids,
+        valid=valid,
+        env=env,
+        radius=radius,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("ray_count", "num_steps"))
-def _simulate_core(
+def _simulate_core_jax(
     key: jax.Array,
     start: jax.Array,
     controls: jax.Array,
@@ -62,7 +151,6 @@ def _simulate_core(
     num_steps: int,
 ):
     poses_gt = trajectory.integrate(start, controls)
-
     meas_gt, ids, valid = lidar.scan_trajectory(
         poses_gt, env, radius, fov, ray_count
     )
@@ -82,13 +170,15 @@ def _simulate_core(
     return poses_gt, poses_dr, odom_meas, meas, meas_gt, lm_global, ids, valid
 
 
-def simulate(
+def simulate_jax(
     config: SimConfig, key: Optional[jax.Array] = None
 ) -> SimulationResult:
+    """Fully-on-device simulation (fused XLA).  Same distributions as
+    :func:`simulate` but not bit-identical across platforms (f32 trig/fma
+    and knife-edge hit decisions differ per backend)."""
     if key is None:
         key = jax.random.PRNGKey(config.seed)
     env, radius = env_mod.load_environment()
-    env = jnp.asarray(env)
     controls = jnp.asarray(
         trajectory.scripted_controls(config.robot_steps - 1)
     )
@@ -97,20 +187,11 @@ def simulate(
         jnp.float32,
     )
     lidar_scale, pos_scale, ang_scale = config.noise.sample_scales()
-    (
-        poses_gt,
-        poses_dr,
-        odom_meas,
-        meas,
-        meas_gt,
-        lm_global,
-        ids,
-        valid,
-    ) = _simulate_core(
+    out = _simulate_core_jax(
         key,
         start,
-        controls,
-        env,
+        jnp.asarray(controls),
+        jnp.asarray(env),
         radius,
         config.lidar.fov,
         config.lidar.ray_count,
@@ -119,17 +200,20 @@ def simulate(
         ang_scale,
         config.robot_steps,
     )
+    poses_gt, poses_dr, odom_meas, meas, meas_gt, lm_global, ids, valid = (
+        np.asarray(x) for x in out
+    )
     return SimulationResult(
         poses_gt=poses_gt,
         poses_dr=poses_dr,
-        odom_gt=controls,
+        odom_gt=np.asarray(controls),
         odom_meas=odom_meas,
         meas=meas,
         meas_gt=meas_gt,
         lm_global=lm_global,
         ids=ids,
         valid=valid,
-        env=env,
+        env=np.asarray(env),
         radius=radius,
     )
 

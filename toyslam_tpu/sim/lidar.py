@@ -90,3 +90,54 @@ def scan_trajectory(
     return jax.vmap(
         lambda p: scan_pose(p, env, radius, fov, ray_count)
     )(poses)
+
+
+def scan_trajectory_np(
+    poses, env, radius: float, fov: float, ray_count: int
+):
+    """Float64 numpy scan — bit-identical on every platform.
+
+    Grazing rays sit exactly on the ``d2 <= r^2`` decision boundary; in f32
+    the boundary flips between backends (different fma contraction), which
+    changes hit IDs and hence the *problem instance*.  The frontend is
+    host-side setup (as in the reference, whose whole frontend is numpy
+    float64), so the deterministic f64 version is the default for graph
+    construction; the JAX version above serves on-device pipelines and is
+    tested against this one.
+
+    Vectorized over ``[T, R, P]`` in one shot — same math as
+    :func:`scan_pose`.
+    """
+    import numpy as np
+
+    poses = np.asarray(poses, np.float64)       # [T,3]
+    env = np.asarray(env, np.float64)           # [P,2]
+    T = poses.shape[0]
+    origin = poses[:, :2]                       # [T,2]
+    theta = poses[:, 2]                         # [T]
+    rel = np.linspace(-0.5 * fov, 0.5 * fov, ray_count)
+    ang = theta[:, None] + rel[None, :]         # [T,R]
+    dirs = np.stack([np.cos(ang), np.sin(ang)], axis=-1)  # [T,R,2]
+
+    oc = env[None, :, :] - origin[:, None, :]   # [T,P,2]
+    tca = np.einsum("trd,tpd->trp", dirs, oc)   # [T,R,P]
+    d2 = np.sum(oc * oc, axis=-1)[:, None, :] - tca**2
+    r2 = radius * radius
+    thc = np.sqrt(np.maximum(r2 - d2, 0.0))
+    t0, t1 = tca - thc, tca + thc
+    t = np.where(t0 < 0.0, t1, t0)
+    hit = (d2 <= r2) & (t1 >= 0.0)
+    t = np.where(hit, t, BIG)
+
+    best = np.argmin(t, axis=2)                               # [T,R]
+    t_best = np.take_along_axis(t, best[..., None], axis=2)[..., 0]
+    valid = t_best < BIG
+
+    centers = env[best]                                       # [T,R,2]
+    to_c = centers - origin[:, None, :]
+    bearing = np.arctan2(to_c[..., 1], to_c[..., 0]) - theta[:, None]
+    bearing = np.arctan2(np.sin(bearing), np.cos(bearing))
+    meas = np.stack([t_best, bearing], axis=-1)
+    meas = np.where(valid[..., None], meas, 0.0).astype(np.float32)
+    ids = np.where(valid, best, -1).astype(np.int32)
+    return meas, ids, valid
