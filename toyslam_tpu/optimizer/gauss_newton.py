@@ -88,19 +88,27 @@ class _LoopState(NamedTuple):
 
 @dataclasses.dataclass(frozen=True)
 class GaussNewton:
-    """Configured optimizer; ``run`` is jit-compiled per graph shape."""
+    """Configured optimizer; ``optimize`` is jit-compiled per graph shape."""
 
     config: OptimizerConfig = OptimizerConfig()
     solve: LinearizeSolve | None = None
 
-    def _solver(self) -> LinearizeSolve:
-        if self.solve is not None:
-            return self.solve
-        if self.config.solver == "schur":
-            from toyslam_tpu.ops.schur import schur_linearize_solve
+    def __post_init__(self):
+        # Build the linearize-solve ONCE: _run's jit cache is keyed on the
+        # callable's identity, so a fresh closure per optimize() call would
+        # silently recompile every time (observed: 460 ms/iter instead of
+        # 5 ms/iter on TPU).
+        if self.solve is None:
+            if self.config.solver == "schur":
+                from toyslam_tpu.ops.schur import schur_linearize_solve
 
-            return schur_linearize_solve(self.config)
-        return dense_linearize_solve(self.config)
+                solve = schur_linearize_solve(self.config)
+            else:
+                solve = dense_linearize_solve(self.config)
+            object.__setattr__(self, "solve", solve)
+
+    def _solver(self) -> LinearizeSolve:
+        return self.solve
 
     def optimize(self, graph: FactorGraph2D) -> OptimizeResult:
         return _run(self.config, self._solver(), graph)
