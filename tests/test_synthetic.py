@@ -1,0 +1,76 @@
+"""Scale-up generators: multi-loop closures and the large sparse problem."""
+
+import numpy as np
+import pytest
+
+from toyslam_tpu.config import OptimizerConfig, SimConfig, SlamConfig
+from toyslam_tpu.optimizer import GaussNewton
+from toyslam_tpu.sim import frontend, synthetic
+
+
+def test_multi_loop_revisits_landmarks():
+    cfg = SlamConfig(sim=SimConfig(robot_steps=300, seed=0))
+    controls = synthetic.multi_loop_controls(299, loop_steps=150)
+    sim = frontend.simulate(cfg.sim, controls=controls)
+    graph, lm_map = frontend.build_graph(sim, cfg)
+    # two laps over the same circuit: landmarks seen on lap 1 are re-observed
+    # on lap 2 -> loop closures.  Count landmarks observed from both laps.
+    ids = np.asarray(sim.ids)
+    valid = np.asarray(sim.valid)
+    lap1 = set(ids[:150][valid[:150]].tolist())
+    lap2 = set(ids[150:][valid[150:]].tolist())
+    assert len(lap1 & lap2) > 20
+
+
+def test_multi_loop_optimization_improves():
+    cfg = SlamConfig(
+        sim=SimConfig(robot_steps=300, seed=0),
+        optimizer=OptimizerConfig(iterations=15, solver="schur"),
+    )
+    controls = synthetic.multi_loop_controls(299, loop_steps=150)
+    sim = frontend.simulate(cfg.sim, controls=controls)
+    graph, _ = frontend.build_graph(sim, cfg)
+    r = GaussNewton(cfg.optimizer).optimize(graph)
+    est = np.asarray(r.graph.poses)[:300]
+    ate_dr = frontend.ate_rmse(sim.poses_dr, sim.poses_gt)
+    ate = frontend.ate_rmse(est, sim.poses_gt)
+    assert ate < 0.5 * ate_dr
+
+
+def test_large_problem_shapes():
+    graph, poses_gt, lms_gt = synthetic.make_large_problem(
+        num_poses=400, num_landmarks=300, obs_per_pose=4, seed=1,
+        pose_bucket=64, landmark_bucket=64, edge_bucket=256,
+    )
+    assert int(np.asarray(graph.pose_mask).sum()) == 400
+    assert int(np.asarray(graph.odom.mask).sum()) == 399
+    assert int(np.asarray(graph.lm_edges.mask).sum()) == 400 * 4
+    # every observed landmark became a vertex with its GT nearby-ish
+    m = int(np.asarray(graph.lm_mask).sum())
+    assert m == lms_gt.shape[0]
+    init_err = np.linalg.norm(
+        np.asarray(graph.landmarks)[:m] - lms_gt, axis=1
+    )
+    assert np.median(init_err) < 5.0
+
+
+def test_large_problem_optimizes():
+    graph, poses_gt, lms_gt = synthetic.make_large_problem(
+        num_poses=600, num_landmarks=400, obs_per_pose=5, seed=2,
+        pose_bucket=64, landmark_bucket=64, edge_bucket=256,
+    )
+    # exact SE(2) odometry Jacobians: the reference's +/-I approximation
+    # (edges2d.py:75-77) diverges on rotation-heavy serpentine trajectories
+    cfg = OptimizerConfig(iterations=30, lr=1.0, solver="schur",
+                          pcg_tol=1e-7, pcg_max_iters=400,
+                          exact_odom_jacobians=True)
+    r = GaussNewton(cfg).optimize(graph)
+    n = 600
+    est = np.asarray(r.graph.poses)[:n]
+    dr0 = np.asarray(graph.poses)[:n]
+    ate0 = frontend.ate_rmse(dr0, poses_gt)
+    ate1 = frontend.ate_rmse(est, poses_gt)
+    assert ate1 < 0.5 * ate0
+    errs = np.asarray(r.errors)
+    errs = errs[~np.isnan(errs)]
+    assert errs[-1] < errs[0]

@@ -71,15 +71,22 @@ def _integrate_np(start: np.ndarray, controls: np.ndarray) -> np.ndarray:
 
 
 def simulate(
-    config: SimConfig, rng: Optional[np.random.Generator] = None
+    config: SimConfig,
+    rng: Optional[np.random.Generator] = None,
+    controls: Optional[np.ndarray] = None,
 ) -> SimulationResult:
-    """Deterministic host-side simulation (float64 numpy)."""
+    """Deterministic host-side simulation (float64 numpy).
+
+    ``controls`` overrides the reference's scripted schedule — e.g.
+    ``sim.synthetic.multi_loop_controls`` for the multi-loop/loop-closure
+    workload.
+    """
     if rng is None:
         rng = np.random.default_rng(config.seed)
     env, radius = env_mod.load_environment()
-    controls = trajectory.scripted_controls(config.robot_steps - 1).astype(
-        np.float64
-    )
+    if controls is None:
+        controls = trajectory.scripted_controls(config.robot_steps - 1)
+    controls = np.asarray(controls, np.float64)
     start = np.array(
         [config.start_xy[0], config.start_xy[1], config.start_theta],
         np.float64,
