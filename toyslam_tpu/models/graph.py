@@ -89,6 +89,12 @@ class FactorGraph2D:
     lm_fixed: jax.Array     # f32[M]
     odom: OdomEdges
     lm_edges: LandmarkEdges
+    # Optional ops.gather_plan.GatherPlan: per-vertex incident-edge tables
+    # that let the solver replace every scatter/segment_sum with gather +
+    # dense reduce (TPU scatters serialize; gathers don't).  Attached via
+    # ops.gather_plan.attach_plan; None under shard_map (tables index the
+    # global edge arrays, which are sharded there).
+    plan: object = None
 
     @property
     def num_poses(self) -> int:
@@ -229,13 +235,17 @@ class GraphBuilder2D:
         odom = self._build_edges(self._odom, 3, self.edge_bucket)
         lmed = self._build_edges(self._lm_obs, 2, self.edge_bucket)
 
+        # Arrays stay host-resident numpy: jit uploads them at dispatch, and
+        # host-side consumers (gather-plan build, codecs, viewers) read them
+        # without device pulls — a device_get through a remote-TPU relay can
+        # stall for minutes on first use.
         return FactorGraph2D(
-            poses=jnp.asarray(poses),
-            landmarks=jnp.asarray(landmarks),
-            pose_mask=jnp.asarray(pose_mask),
-            lm_mask=jnp.asarray(lm_mask),
-            pose_fixed=jnp.asarray(pose_fixed),
-            lm_fixed=jnp.asarray(lm_fixed),
+            poses=poses,
+            landmarks=landmarks,
+            pose_mask=pose_mask,
+            lm_mask=lm_mask,
+            pose_fixed=pose_fixed,
+            lm_fixed=lm_fixed,
             odom=OdomEdges(
                 i=odom[0], j=odom[1], meas=odom[2], info=odom[3], mask=odom[4]
             ),
@@ -253,15 +263,10 @@ class GraphBuilder2D:
         meas = np.zeros((ep, dim), self.dtype)
         info = np.zeros((ep, dim, dim), self.dtype)
         mask = np.zeros(ep, self.dtype)
-        for k, (a, b, m_, inf) in enumerate(edges):
-            i[k], j[k] = a, b
-            meas[k] = m_
-            info[k] = inf
-            mask[k] = 1.0
-        return (
-            jnp.asarray(i),
-            jnp.asarray(j),
-            jnp.asarray(meas),
-            jnp.asarray(info),
-            jnp.asarray(mask),
-        )
+        if e:
+            i[:e] = np.fromiter((x[0] for x in edges), np.int32, e)
+            j[:e] = np.fromiter((x[1] for x in edges), np.int32, e)
+            meas[:e] = np.stack([x[2] for x in edges])
+            info[:e] = np.stack([x[3] for x in edges])
+            mask[:e] = 1.0
+        return (i, j, meas, info, mask)

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from toyslam_tpu.models.graph import FactorGraph2D
-from toyslam_tpu.ops.precision import einsum
+from toyslam_tpu.ops import blockmath as bm
 from toyslam_tpu.ops import residuals as res_ops
 
 
@@ -103,14 +103,14 @@ def assemble_dense(
     cols_i = 3 * graph.odom.i[:, None] + jnp.arange(3, dtype=jnp.int32)
     cols_j = 3 * graph.odom.j[:, None] + jnp.arange(3, dtype=jnp.int32)
     mask1 = graph.odom.mask[:, None, None]
-    WA1 = einsum("eab,ebc->eac", w_od, od.JA)
-    WB1 = einsum("eab,ebc->eac", w_od, od.JB)
+    WA1 = bm.mm(w_od, od.JA)
+    WB1 = bm.mm(w_od, od.JB)
     J = J.at[rows1[:, :, None], cols_i[:, None, :]].add(od.JA * mask1)
     J = J.at[rows1[:, :, None], cols_j[:, None, :]].add(od.JB * mask1)
     WJ = WJ.at[rows1[:, :, None], cols_i[:, None, :]].add(WA1 * mask1)
     WJ = WJ.at[rows1[:, :, None], cols_j[:, None, :]].add(WB1 * mask1)
     wr = wr.at[rows1].add(
-        einsum("eab,eb->ea", w_od, od.r) * graph.odom.mask[:, None]
+        bm.mv(w_od, od.r) * graph.odom.mask[:, None]
     )
 
     # --- landmark edges: rows [3E1 + 2k, ...), pose block + landmark block
@@ -124,14 +124,14 @@ def assemble_dense(
         3 * n + 2 * graph.lm_edges.lm[:, None] + jnp.arange(2, dtype=jnp.int32)
     )
     mask2 = graph.lm_edges.mask[:, None, None]
-    WA2 = einsum("eab,ebc->eac", w_lm, lme.JA)
-    WB2 = einsum("eab,ebc->eac", w_lm, lme.JB)
+    WA2 = bm.mm(w_lm, lme.JA)
+    WB2 = bm.mm(w_lm, lme.JB)
     J = J.at[rows2[:, :, None], cols_p[:, None, :]].add(lme.JA * mask2)
     J = J.at[rows2[:, :, None], cols_l[:, None, :]].add(lme.JB * mask2)
     WJ = WJ.at[rows2[:, :, None], cols_p[:, None, :]].add(WA2 * mask2)
     WJ = WJ.at[rows2[:, :, None], cols_l[:, None, :]].add(WB2 * mask2)
     wr = wr.at[rows2].add(
-        einsum("eab,eb->ea", w_lm, lme.r) * graph.lm_edges.mask[:, None]
+        bm.mv(w_lm, lme.r) * graph.lm_edges.mask[:, None]
     )
 
     # --- the MXU does the heavy lifting.  HIGHEST keeps full f32 accuracy

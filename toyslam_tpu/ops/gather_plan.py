@@ -1,0 +1,103 @@
+"""Scatter-free reductions: per-vertex edge tables turn segment_sum into
+gather + dense reduce.
+
+TPU executes gathers at full bandwidth but serializes scatter-adds; a
+``segment_sum`` over 60k edges costs ~1.5 ms inside the PCG loop (measured),
+dwarfing the ~2 MFLOP of actual work.  The fix is the transpose of the
+classic CSR trick: precompute, per vertex, the (padded, fixed-capacity)
+list of incident edge indices, then every per-vertex reduction becomes
+
+    out[v] = sum_k values[ table[v, k] ] * mask[v, k]
+
+— a gather, an elementwise multiply, and a dense axis reduction.  No
+atomics (CUDA reference: KernelSe2.cu:83-110), no mutex (OptimizerCpu.h:
+101-118), no scatter: deterministic and VPU-shaped.
+
+The tables depend only on graph *structure* (host-side index arrays), so
+they are built once per graph on the host and reused across all GN/PCG
+iterations.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from toyslam_tpu.models.graph import FactorGraph2D
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class VertexTable:
+    """Edges incident to each of V vertices, padded to capacity K."""
+
+    idx: jax.Array    # i32[V, K] edge index (0 where padded)
+    mask: jax.Array   # f32[V, K] 1.0 = real entry
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class GatherPlan:
+    lm_by_pose: VertexTable   # landmark edges grouped by observing pose
+    lm_by_lm: VertexTable     # landmark edges grouped by landmark
+    odom_by_i: VertexTable    # odometry edges grouped by first pose
+    odom_by_j: VertexTable    # odometry edges grouped by second pose
+
+
+def _build_table(
+    vertex_ids: np.ndarray, mask: np.ndarray, num_vertices: int, pad_to: int = 8
+) -> VertexTable:
+    ids = vertex_ids[mask > 0]
+    edge_idx = np.nonzero(mask > 0)[0]
+    counts = np.bincount(ids, minlength=num_vertices)
+    k = int(counts.max()) if counts.size else 0
+    k = max(pad_to, -(-k // pad_to) * pad_to)
+    tbl = np.zeros((num_vertices, k), np.int32)
+    msk = np.zeros((num_vertices, k), np.float32)
+    # vectorized slot assignment: edges sorted by vertex id keep their
+    # relative order; slot = rank within the vertex's run
+    order = np.argsort(ids, kind="stable")
+    sorted_ids = ids[order]
+    sorted_edges = edge_idx[order]
+    starts = np.searchsorted(sorted_ids, np.arange(num_vertices))
+    slots = np.arange(sorted_ids.shape[0]) - starts[sorted_ids]
+    tbl[sorted_ids, slots] = sorted_edges
+    msk[sorted_ids, slots] = 1.0
+    return VertexTable(idx=tbl, mask=msk)
+
+
+def build_gather_plan(graph: FactorGraph2D) -> GatherPlan:
+    """Host-side construction from the graph's (host-resident) index arrays."""
+    n, m = graph.num_poses, graph.num_landmarks
+    lm_pose = np.asarray(graph.lm_edges.pose)
+    lm_lm = np.asarray(graph.lm_edges.lm)
+    lm_mask = np.asarray(graph.lm_edges.mask)
+    od_i = np.asarray(graph.odom.i)
+    od_j = np.asarray(graph.odom.j)
+    od_mask = np.asarray(graph.odom.mask)
+    return GatherPlan(
+        lm_by_pose=_build_table(lm_pose, lm_mask, n),
+        lm_by_lm=_build_table(lm_lm, lm_mask, m),
+        odom_by_i=_build_table(od_i, od_mask, n),
+        odom_by_j=_build_table(od_j, od_mask, n),
+    )
+
+
+def attach_plan(graph: FactorGraph2D) -> FactorGraph2D:
+    """Graph with gather tables attached (host-side, once per structure)."""
+    return dataclasses.replace(graph, plan=build_gather_plan(graph))
+
+
+def table_sum(values: jax.Array, table: VertexTable) -> jax.Array:
+    """``out[v] = sum over incident edges of values[e]`` — scatter-free.
+
+    ``values``: f32[E, ...] per-edge quantities; returns f32[V, ...].
+    """
+    gathered = values[table.idx]                       # [V, K, ...]
+    mask = table.mask.reshape(
+        table.mask.shape + (1,) * (gathered.ndim - 2)
+    )
+    return jnp.sum(gathered * mask, axis=1)

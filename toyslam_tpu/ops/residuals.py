@@ -26,7 +26,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from toyslam_tpu.ops.precision import einsum
+from toyslam_tpu.ops import blockmath as bm
 from toyslam_tpu.ops import se2
 
 
@@ -97,7 +97,7 @@ def eval_odom_edges(
         JA = jnp.broadcast_to(-eye, (e, 3, 3))
         JB = jnp.broadcast_to(eye, (e, 3, 3))
 
-    chi2 = einsum("ed,edk,ek->e", r, info, r) * mask
+    chi2 = bm.vwv(r, info, r) * mask
     robust_err, w = huber_weights(chi2, huber_delta)
     return EdgeEval(r, JA, JB, chi2, w * mask, robust_err * mask)
 
@@ -141,6 +141,6 @@ def eval_landmark_edges(
         [jnp.stack([c, s], axis=-1), jnp.stack([-s, c], axis=-1)], axis=-2
     )
 
-    chi2 = einsum("ed,edk,ek->e", r, info, r) * mask
+    chi2 = bm.vwv(r, info, r) * mask
     robust_err, w = huber_weights(chi2, huber_delta)
     return EdgeEval(r, JA, JB, chi2, w * mask, robust_err * mask)

@@ -28,8 +28,23 @@ import jax.numpy as jnp
 
 from toyslam_tpu.config import OptimizerConfig
 from toyslam_tpu.models.graph import FactorGraph2D
+from toyslam_tpu.ops import gather_plan as gp
+from toyslam_tpu.ops import blockmath as bm
 from toyslam_tpu.ops.precision import einsum
 from toyslam_tpu.ops import residuals as res_ops
+
+
+def _vertex_sum(values, ids, num, table):
+    """Per-vertex reduction of per-edge values.
+
+    Uses the scatter-free gather table when the graph carries a GatherPlan
+    (ops/gather_plan.py) — TPU scatters serialize, gathers don't — and falls
+    back to segment_sum (needed under shard_map, where tables would index
+    sharded edge arrays).
+    """
+    if table is not None:
+        return gp.table_sum(values, table)
+    return jax.ops.segment_sum(values, ids, num)
 
 
 def _maybe_psum(x, axis_name):
@@ -96,35 +111,43 @@ def assemble_blocks(
     w_od = od.w[:, None, None] * graph.odom.info          # [E1,3,3]
     w_lm = lme.w[:, None, None] * graph.lm_edges.info     # [E2,2,2]
 
+    plan = graph.plan
+    t_oi = plan.odom_by_i if plan is not None else None
+    t_oj = plan.odom_by_j if plan is not None else None
+    t_lp = plan.lm_by_pose if plan is not None else None
+    t_ll = plan.lm_by_lm if plan is not None else None
+
     # --- odometry contributions --------------------------------------
-    ata = einsum("eba,ebc,ecd->ead", od.JA, w_od, od.JA)
-    btb = einsum("eba,ebc,ecd->ead", od.JB, w_od, od.JB)
-    atb = einsum("eba,ebc,ecd->ead", od.JA, w_od, od.JB)
-    bp = jax.ops.segment_sum(
-        einsum("eba,ebc,ec->ea", od.JA, w_od, od.r), graph.odom.i, n
+    ata = bm.quad(od.JA, w_od)
+    btb = bm.quad(od.JB, w_od)
+    atb = bm.mtm(od.JA, bm.mm(w_od, od.JB))
+    bp = _vertex_sum(
+        bm.mtv(od.JA, bm.mv(w_od, od.r)), graph.odom.i, n, t_oi
     )
-    bp = bp + jax.ops.segment_sum(
-        einsum("eba,ebc,ec->ea", od.JB, w_od, od.r), graph.odom.j, n
+    bp = bp + _vertex_sum(
+        bm.mtv(od.JB, bm.mv(w_od, od.r)), graph.odom.j, n, t_oj
     )
-    hpp_diag = jax.ops.segment_sum(ata, graph.odom.i, n)
-    hpp_diag = hpp_diag + jax.ops.segment_sum(btb, graph.odom.j, n)
+    hpp_diag = _vertex_sum(ata, graph.odom.i, n, t_oi)
+    hpp_diag = hpp_diag + _vertex_sum(btb, graph.odom.j, n, t_oj)
     hpp_off = atb
 
     # --- landmark contributions --------------------------------------
-    ata2 = einsum("eba,ebc,ecd->ead", lme.JA, w_lm, lme.JA)   # [E2,3,3]
-    btb2 = einsum("eba,ebc,ecd->ead", lme.JB, w_lm, lme.JB)   # [E2,2,2]
-    hpl = einsum("eba,ebc,ecd->ead", lme.JA, w_lm, lme.JB)    # [E2,3,2]
-    hpp_diag = hpp_diag + jax.ops.segment_sum(ata2, graph.lm_edges.pose, n)
-    hll = jax.ops.segment_sum(btb2, graph.lm_edges.lm, m)
-    bp = bp + jax.ops.segment_sum(
-        einsum("eba,ebc,ec->ea", lme.JA, w_lm, lme.r),
+    ata2 = bm.quad(lme.JA, w_lm)                                  # [E2,3,3]
+    btb2 = bm.quad(lme.JB, w_lm)                                  # [E2,2,2]
+    hpl = bm.mtm(lme.JA, bm.mm(w_lm, lme.JB))                     # [E2,3,2]
+    hpp_diag = hpp_diag + _vertex_sum(ata2, graph.lm_edges.pose, n, t_lp)
+    hll = _vertex_sum(btb2, graph.lm_edges.lm, m, t_ll)
+    bp = bp + _vertex_sum(
+        bm.mtv(lme.JA, bm.mv(w_lm, lme.r)),
         graph.lm_edges.pose,
         n,
+        t_lp,
     )
-    bl = jax.ops.segment_sum(
-        einsum("eba,ebc,ec->ea", lme.JB, w_lm, lme.r),
+    bl = _vertex_sum(
+        bm.mtv(lme.JB, bm.mv(w_lm, lme.r)),
         graph.lm_edges.lm,
         m,
+        t_ll,
     )
 
     # Cross-shard reduction of everything indexed per-vertex; per-edge
@@ -179,7 +202,7 @@ def inv2x2(blocks: jax.Array) -> jax.Array:
 
 def hpp_matvec(
     sys: BlockSystem, odom_i: jax.Array, odom_j: jax.Array, x: jax.Array,
-    axis_name: str | None = None,
+    axis_name: str | None = None, plan=None,
 ) -> jax.Array:
     """``Hpp @ x`` for ``x [N, 3]`` using only blocks.
 
@@ -187,13 +210,15 @@ def hpp_matvec(
     over the local edge shard and reduce across the mesh.
     """
     n = x.shape[0]
-    off = jax.ops.segment_sum(
-        einsum("eab,eb->ea", sys.hpp_off, x[odom_j]), odom_i, n
+    t_oi = plan.odom_by_i if plan is not None else None
+    t_oj = plan.odom_by_j if plan is not None else None
+    off = _vertex_sum(
+        bm.mv(sys.hpp_off, x[odom_j]), odom_i, n, t_oi
     )
-    off = off + jax.ops.segment_sum(
-        einsum("eba,eb->ea", sys.hpp_off, x[odom_i]), odom_j, n
+    off = off + _vertex_sum(
+        bm.mtv(sys.hpp_off, x[odom_i]), odom_j, n, t_oj
     )
-    return einsum("nab,nb->na", sys.hpp_diag, x) + _maybe_psum(
+    return bm.mv(sys.hpp_diag, x) + _maybe_psum(
         off, axis_name
     )
 
@@ -202,12 +227,14 @@ def hlp_matvec(
     sys: BlockSystem, lm_pose: jax.Array, lm_lm: jax.Array, x: jax.Array,
     num_landmarks: int,
     axis_name: str | None = None,
+    plan=None,
 ) -> jax.Array:
     """``Hlp @ x = Hpl^T @ x`` -> [M, 2]."""
+    t_ll = plan.lm_by_lm if plan is not None else None
     return _maybe_psum(
-        jax.ops.segment_sum(
-            einsum("eba,eb->ea", sys.hpl, x[lm_pose]), lm_lm,
-            num_landmarks,
+        _vertex_sum(
+            bm.mtv(sys.hpl, x[lm_pose]), lm_lm,
+            num_landmarks, t_ll,
         ),
         axis_name,
     )
@@ -217,11 +244,13 @@ def hpl_matvec(
     sys: BlockSystem, lm_pose: jax.Array, lm_lm: jax.Array, y: jax.Array,
     num_poses: int,
     axis_name: str | None = None,
+    plan=None,
 ) -> jax.Array:
     """``Hpl @ y`` for ``y [M, 2]`` -> [N, 3]."""
+    t_lp = plan.lm_by_pose if plan is not None else None
     return _maybe_psum(
-        jax.ops.segment_sum(
-            einsum("eab,eb->ea", sys.hpl, y[lm_lm]), lm_pose, num_poses
+        _vertex_sum(
+            bm.mv(sys.hpl, y[lm_lm]), lm_pose, num_poses, t_lp
         ),
         axis_name,
     )
@@ -236,11 +265,12 @@ def schur_matvec(
 ) -> jax.Array:
     """``S @ x`` without materializing S."""
     u = hlp_matvec(sys, graph.lm_edges.pose, graph.lm_edges.lm, x,
-                   graph.num_landmarks, axis_name)
-    v = einsum("mab,mb->ma", hll_inv, u)
+                   graph.num_landmarks, axis_name, graph.plan)
+    v = bm.mv(hll_inv, u)
     w = hpl_matvec(sys, graph.lm_edges.pose, graph.lm_edges.lm, v,
-                   graph.num_poses, axis_name)
-    return hpp_matvec(sys, graph.odom.i, graph.odom.j, x, axis_name) - w
+                   graph.num_poses, axis_name, graph.plan)
+    return hpp_matvec(sys, graph.odom.i, graph.odom.j, x, axis_name,
+                      graph.plan) - w
 
 
 def schur_preconditioner(
@@ -253,14 +283,80 @@ def schur_preconditioner(
     single edge (true for the per-frame frontend); an approximation (and a
     perfectly valid preconditioner) otherwise.
     """
-    contrib = einsum(
-        "eab,ebc,edc->ead", sys.hpl, hll_inv[graph.lm_edges.lm], sys.hpl
-    )
+    contrib = bm.mm(bm.mm(sys.hpl, hll_inv[graph.lm_edges.lm]),
+                    jnp.swapaxes(sys.hpl, -1, -2))
+    t_lp = graph.plan.lm_by_pose if graph.plan is not None else None
     s_diag = sys.hpp_diag - _maybe_psum(
-        jax.ops.segment_sum(contrib, graph.lm_edges.pose, graph.num_poses),
+        _vertex_sum(contrib, graph.lm_edges.pose, graph.num_poses, t_lp),
         axis_name,
     )
     return jnp.linalg.inv(s_diag)
+
+
+class PlanOperator(NamedTuple):
+    """Damped Schur operator in dual per-vertex layout — zero per-edge
+    gathers inside the PCG loop.
+
+    The per-edge blocks (recomputed every linearization) are re-materialized
+    once into landmark-major ``[M, Kl, ...]`` and pose-major ``[N, Kp, ...]``
+    grids; a PCG matvec then reads only dense grids plus gathers of rows of
+    the small state vectors ``x [N,3]`` / ``v [M,2]``.  Random row gathers
+    over the big edge arrays were the PCG bottleneck (~1.4 ms/iter at 60k
+    edges); this layout amortizes them into one relayout per GN iteration.
+    """
+
+    hpp_diag: jax.Array   # [N,3,3] damped
+    hll_inv: jax.Array    # [M,2,2]
+    hpl_L: jax.Array      # [M,Kl,3,2] masked blocks, landmark-major
+    pose_L: jax.Array     # i32[M,Kl] observing pose per slot
+    hpl_P: jax.Array      # [N,Kp,3,2] masked blocks, pose-major
+    lm_P: jax.Array       # i32[N,Kp]
+    off_I: jax.Array      # [N,Ko,3,3] odometry off-diag blocks at (i,.)
+    j_I: jax.Array        # i32[N,Ko]
+    off_J: jax.Array      # [N,Ko,3,3] blocks at (.,j) (transposed use)
+    i_J: jax.Array        # i32[N,Ko]
+
+
+def make_plan_operator(
+    d: BlockSystem, hll_inv: jax.Array, graph: FactorGraph2D
+) -> PlanOperator:
+    plan = graph.plan
+    lb, pb = plan.lm_by_lm, plan.lm_by_pose
+    oi, oj = plan.odom_by_i, plan.odom_by_j
+    return PlanOperator(
+        hpp_diag=d.hpp_diag,
+        hll_inv=hll_inv,
+        hpl_L=d.hpl[lb.idx] * lb.mask[..., None, None],
+        pose_L=graph.lm_edges.pose[lb.idx],
+        hpl_P=d.hpl[pb.idx] * pb.mask[..., None, None],
+        lm_P=graph.lm_edges.lm[pb.idx],
+        off_I=d.hpp_off[oi.idx] * oi.mask[..., None, None],
+        j_I=graph.odom.j[oi.idx],
+        off_J=d.hpp_off[oj.idx] * oj.mask[..., None, None],
+        i_J=graph.odom.i[oj.idx],
+    )
+
+
+def plan_matvec(op: PlanOperator, x: jax.Array) -> jax.Array:
+    """``S @ x`` on the dual layout: dense grids + small state gathers."""
+    u = jnp.sum(bm.mtv(op.hpl_L, x[op.pose_L]), axis=1)
+    v = bm.mv(op.hll_inv, u)
+    w = jnp.sum(bm.mv(op.hpl_P, v[op.lm_P]), axis=1)
+    hp = (
+        bm.mv(op.hpp_diag, x)
+        + jnp.sum(bm.mv(op.off_I, x[op.j_I]), axis=1)
+        + jnp.sum(bm.mtv(op.off_J, x[op.i_J]), axis=1)
+    )
+    return hp - w
+
+
+def plan_preconditioner(op: PlanOperator) -> jax.Array:
+    """Inverse block-Jacobi of S from the pose-major grid."""
+    hi = op.hll_inv[op.lm_P]
+    contrib = jnp.sum(
+        bm.mm(bm.mm(op.hpl_P, hi), jnp.swapaxes(op.hpl_P, -1, -2)), axis=1
+    )
+    return jnp.linalg.inv(op.hpp_diag - contrib)
 
 
 class PCGResult(NamedTuple):
@@ -331,13 +427,23 @@ def schur_solve(
 
     rhs = -d.bp + hpl_matvec(
         d, graph.lm_edges.pose, graph.lm_edges.lm,
-        einsum("mab,mb->ma", hll_inv, d.bl), graph.num_poses, axis_name,
+        bm.mv(hll_inv, d.bl), graph.num_poses, axis_name,
+        graph.plan,
     )
-    m_inv = schur_preconditioner(d, hll_inv, graph, axis_name)
+    if graph.plan is not None and axis_name is None:
+        # dual-layout operator: no per-edge gathers inside the PCG loop
+        op = make_plan_operator(d, hll_inv, graph)
+        m_inv = plan_preconditioner(op)
+        matvec = lambda x: plan_matvec(op, x)  # noqa: E731
+    else:
+        m_inv = schur_preconditioner(d, hll_inv, graph, axis_name)
+        matvec = lambda x: schur_matvec(  # noqa: E731
+            d, hll_inv, graph, x, axis_name
+        )
 
     res = pcg(
-        matvec=lambda x: schur_matvec(d, hll_inv, graph, x, axis_name),
-        precond_apply=lambda r: einsum("nab,nb->na", m_inv, r),
+        matvec=matvec,
+        precond_apply=lambda r: bm.mv(m_inv, r),
         rhs=rhs,
         tol=tol,
         max_iters=max_iters,
@@ -345,9 +451,9 @@ def schur_solve(
     dx_p = res.x
     u = hlp_matvec(
         d, graph.lm_edges.pose, graph.lm_edges.lm, dx_p,
-        graph.num_landmarks, axis_name,
+        graph.num_landmarks, axis_name, graph.plan,
     )
-    dx_l = einsum("mab,mb->ma", hll_inv, -d.bl - u)
+    dx_l = bm.mv(hll_inv, -d.bl - u)
     return dx_p, dx_l
 
 

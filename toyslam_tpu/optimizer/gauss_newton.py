@@ -98,6 +98,7 @@ class GaussNewton:
         # callable's identity, so a fresh closure per optimize() call would
         # silently recompile every time (observed: 460 ms/iter instead of
         # 5 ms/iter on TPU).
+        object.__setattr__(self, "_builtin_solver", self.solve is None)
         if self.solve is None:
             if self.config.solver == "schur":
                 from toyslam_tpu.ops.schur import schur_linearize_solve
@@ -110,8 +111,22 @@ class GaussNewton:
     def _solver(self) -> LinearizeSolve:
         return self.solve
 
+    def _prepare(self, graph: FactorGraph2D) -> FactorGraph2D:
+        # The single-device Schur path wants the scatter-free gather tables
+        # (ops/gather_plan.py); build them host-side once per graph.  A
+        # custom solve (e.g. the distributed one) manages its own layout.
+        if (
+            self._builtin_solver
+            and self.config.solver == "schur"
+            and graph.plan is None
+        ):
+            from toyslam_tpu.ops.gather_plan import attach_plan
+
+            graph = attach_plan(graph)
+        return graph
+
     def optimize(self, graph: FactorGraph2D) -> OptimizeResult:
-        return _run(self.config, self._solver(), graph)
+        return _run(self.config, self._solver(), self._prepare(graph))
 
     def step(
         self, graph: FactorGraph2D, lam: jax.Array | float | None = None

@@ -16,6 +16,7 @@ collectives, so correctness tests can diff the two directly.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Optional
 
@@ -67,6 +68,10 @@ def distributed_linearize_solve(
     n_dev = mesh.shape[axis]
 
     def solve(graph: FactorGraph2D, lam: jax.Array):
+        if graph.plan is not None:
+            # gather tables index the *global* edge arrays; under shard_map
+            # each device sees only its shard, so fall back to segment_sum
+            graph = dataclasses.replace(graph, plan=None)
         graph = pad_edges_for_mesh(graph, n_dev)
         return sharded(graph, lam)
 
