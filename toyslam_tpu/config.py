@@ -129,6 +129,11 @@ class OptimizerConfig:
     # PCG controls (schur solver only)
     pcg_tol: float = 1e-6
     pcg_max_iters: int = 200
+    # Per-edge linearization backend (schur solver): "xla" — batched jnp
+    # formulas fused by XLA (the correctness oracle); "pallas" — fused
+    # component-major Pallas TPU kernels (ops/pallas_edges.py; interpreted
+    # on CPU).
+    edge_backend: str = "xla"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 
 from toyslam_tpu.config import OptimizerConfig
 from toyslam_tpu.models.graph import FactorGraph2D
+from toyslam_tpu.ops import edge_blocks
 from toyslam_tpu.ops import gather_plan as gp
 from toyslam_tpu.ops import blockmath as bm
 from toyslam_tpu.ops.precision import einsum
@@ -77,39 +78,18 @@ def assemble_blocks(
     fixed_prior: float = 1e6,
     exact_odom_jacobians: bool = False,
     axis_name: str | None = None,
+    edge_backend: str = "xla",
 ) -> BlockSystem:
     """Same math as ops/assemble.py but materializing only the sparse blocks.
 
-    With ``axis_name`` set (inside shard_map, edge arrays sharded), the
-    per-vertex reductions are psum'd so every device holds the complete
-    diagonal blocks/gradients while the off-diagonal per-edge blocks
-    (``hpp_off``, ``hpl``) stay shard-local.
+    Per-edge linearization goes through ops/edge_blocks.py — ``edge_backend``
+    selects the fused Pallas kernels ("pallas", ops/pallas_edges.py) or the
+    batched XLA oracle ("xla").  With ``axis_name`` set (inside shard_map,
+    edge arrays sharded), the per-vertex reductions are psum'd so every
+    device holds the complete diagonal blocks/gradients while the
+    off-diagonal per-edge blocks (``hpp_off``, ``hpl``) stay shard-local.
     """
     n, m = graph.num_poses, graph.num_landmarks
-
-    od = res_ops.eval_odom_edges(
-        graph.poses,
-        graph.odom.i,
-        graph.odom.j,
-        graph.odom.meas,
-        graph.odom.info,
-        graph.odom.mask,
-        huber_delta,
-        exact=exact_odom_jacobians,
-    )
-    lme = res_ops.eval_landmark_edges(
-        graph.poses,
-        graph.landmarks,
-        graph.lm_edges.pose,
-        graph.lm_edges.lm,
-        graph.lm_edges.meas,
-        graph.lm_edges.info,
-        graph.lm_edges.mask,
-        huber_delta,
-    )
-
-    w_od = od.w[:, None, None] * graph.odom.info          # [E1,3,3]
-    w_lm = lme.w[:, None, None] * graph.lm_edges.info     # [E2,2,2]
 
     plan = graph.plan
     t_oi = plan.odom_by_i if plan is not None else None
@@ -118,37 +98,69 @@ def assemble_blocks(
     t_ll = plan.lm_by_lm if plan is not None else None
 
     # --- odometry contributions --------------------------------------
-    ata = bm.quad(od.JA, w_od)
-    btb = bm.quad(od.JB, w_od)
-    atb = bm.mtm(od.JA, bm.mm(w_od, od.JB))
-    bp = _vertex_sum(
-        bm.mtv(od.JA, bm.mv(w_od, od.r)), graph.odom.i, n, t_oi
-    )
-    bp = bp + _vertex_sum(
-        bm.mtv(od.JB, bm.mv(w_od, od.r)), graph.odom.j, n, t_oj
-    )
+    if exact_odom_jacobians:
+        # General Jacobians: keep the full-formula path (non-default mode;
+        # the A=-I/B=I structure below does not apply).
+        od = res_ops.eval_odom_edges(
+            graph.poses,
+            graph.odom.i,
+            graph.odom.j,
+            graph.odom.meas,
+            graph.odom.info,
+            graph.odom.mask,
+            huber_delta,
+            exact=True,
+        )
+        w_od = od.w[:, None, None] * graph.odom.info      # [E1,3,3]
+        ata = bm.quad(od.JA, w_od)
+        btb = bm.quad(od.JB, w_od)
+        atb = bm.mtm(od.JA, bm.mm(w_od, od.JB))
+        wr_i = bm.mtv(od.JA, bm.mv(w_od, od.r))
+        wr_j = bm.mtv(od.JB, bm.mv(w_od, od.r))
+        odom_err = jnp.sum(od.robust_err)
+    else:
+        ob = edge_blocks.odom_edge_blocks(
+            graph.poses,
+            graph.odom.i,
+            graph.odom.j,
+            graph.odom.meas,
+            graph.odom.info,
+            graph.odom.mask,
+            huber_delta,
+            backend=edge_backend,
+        )
+        # A=-I, B=I collapses every product to ±W' (KernelSe2.cu exploits
+        # the same structure on the reference's CUDA path).
+        ata = ob.w_info
+        btb = ob.w_info
+        atb = -ob.w_info
+        wr_i = -ob.wr
+        wr_j = ob.wr
+        odom_err = jnp.sum(ob.robust_err)
+
+    bp = _vertex_sum(wr_i, graph.odom.i, n, t_oi)
+    bp = bp + _vertex_sum(wr_j, graph.odom.j, n, t_oj)
     hpp_diag = _vertex_sum(ata, graph.odom.i, n, t_oi)
     hpp_diag = hpp_diag + _vertex_sum(btb, graph.odom.j, n, t_oj)
     hpp_off = atb
 
     # --- landmark contributions --------------------------------------
-    ata2 = bm.quad(lme.JA, w_lm)                                  # [E2,3,3]
-    btb2 = bm.quad(lme.JB, w_lm)                                  # [E2,2,2]
-    hpl = bm.mtm(lme.JA, bm.mm(w_lm, lme.JB))                     # [E2,3,2]
-    hpp_diag = hpp_diag + _vertex_sum(ata2, graph.lm_edges.pose, n, t_lp)
-    hll = _vertex_sum(btb2, graph.lm_edges.lm, m, t_ll)
-    bp = bp + _vertex_sum(
-        bm.mtv(lme.JA, bm.mv(w_lm, lme.r)),
+    lb = edge_blocks.lm_edge_blocks(
+        graph.poses,
+        graph.landmarks,
         graph.lm_edges.pose,
-        n,
-        t_lp,
-    )
-    bl = _vertex_sum(
-        bm.mtv(lme.JB, bm.mv(w_lm, lme.r)),
         graph.lm_edges.lm,
-        m,
-        t_ll,
+        graph.lm_edges.meas,
+        graph.lm_edges.info,
+        graph.lm_edges.mask,
+        huber_delta,
+        backend=edge_backend,
     )
+    hpl = lb.w_hpl                                                # [E2,3,2]
+    hpp_diag = hpp_diag + _vertex_sum(lb.w_ata, graph.lm_edges.pose, n, t_lp)
+    hll = _vertex_sum(lb.w_btb, graph.lm_edges.lm, m, t_ll)
+    bp = bp + _vertex_sum(lb.bp_c, graph.lm_edges.pose, n, t_lp)
+    bl = _vertex_sum(lb.bl_c, graph.lm_edges.lm, m, t_ll)
 
     # Cross-shard reduction of everything indexed per-vertex; per-edge
     # blocks stay local to their shard.
@@ -167,9 +179,7 @@ def assemble_blocks(
     bp = bp * (1.0 - graph.pose_fixed)[:, None]
     bl = bl * (1.0 - graph.lm_fixed)[:, None]
 
-    err = _maybe_psum(
-        jnp.sum(od.robust_err) + jnp.sum(lme.robust_err), axis_name
-    )
+    err = _maybe_psum(odom_err + jnp.sum(lb.robust_err), axis_name)
     return BlockSystem(
         hpp_diag=hpp_diag, hpp_off=hpp_off, hll=hll, hpl=hpl,
         bp=bp, bl=bl, err=err,
@@ -178,12 +188,14 @@ def assemble_blocks(
 
 def damp(sys: BlockSystem, lam: jax.Array) -> BlockSystem:
     """Add ``lam I`` to every diagonal, matching the dense path's
-    ``H + lam*eye(D)`` (graph_optimizer.py:43)."""
-    eye3 = jnp.eye(3, dtype=sys.hpp_diag.dtype)
-    eye2 = jnp.eye(2, dtype=sys.hll.dtype)
+    ``H + lam*eye(D)`` (graph_optimizer.py:43).  Block sizes are read off
+    the arrays, so the same code damps 3/2 (SE(2)) and 6/3 (SE(3)) systems.
+    """
+    eye_p = jnp.eye(sys.hpp_diag.shape[-1], dtype=sys.hpp_diag.dtype)
+    eye_l = jnp.eye(sys.hll.shape[-1], dtype=sys.hll.dtype)
     return sys._replace(
-        hpp_diag=sys.hpp_diag + lam * eye3,
-        hll=sys.hll + lam * eye2,
+        hpp_diag=sys.hpp_diag + lam * eye_p,
+        hll=sys.hll + lam * eye_l,
     )
 
 
@@ -198,6 +210,42 @@ def inv2x2(blocks: jax.Array) -> jax.Array:
     row0 = jnp.stack([d * inv_det, -b * inv_det], axis=-1)
     row1 = jnp.stack([-c * inv_det, a * inv_det], axis=-1)
     return jnp.stack([row0, row1], axis=-2)
+
+
+def inv3x3(blocks: jax.Array) -> jax.Array:
+    """Closed-form batched 3x3 inverse via the adjugate (VPU-friendly —
+    no LAPACK-style factorization for tiny blocks)."""
+    m = blocks
+    c00 = m[..., 1, 1] * m[..., 2, 2] - m[..., 1, 2] * m[..., 2, 1]
+    c01 = m[..., 1, 2] * m[..., 2, 0] - m[..., 1, 0] * m[..., 2, 2]
+    c02 = m[..., 1, 0] * m[..., 2, 1] - m[..., 1, 1] * m[..., 2, 0]
+    c10 = m[..., 0, 2] * m[..., 2, 1] - m[..., 0, 1] * m[..., 2, 2]
+    c11 = m[..., 0, 0] * m[..., 2, 2] - m[..., 0, 2] * m[..., 2, 0]
+    c12 = m[..., 0, 1] * m[..., 2, 0] - m[..., 0, 0] * m[..., 2, 1]
+    c20 = m[..., 0, 1] * m[..., 1, 2] - m[..., 0, 2] * m[..., 1, 1]
+    c21 = m[..., 0, 2] * m[..., 1, 0] - m[..., 0, 0] * m[..., 1, 2]
+    c22 = m[..., 0, 0] * m[..., 1, 1] - m[..., 0, 1] * m[..., 1, 0]
+    det = (
+        m[..., 0, 0] * c00 + m[..., 0, 1] * c01 + m[..., 0, 2] * c02
+    )
+    inv_det = 1.0 / det
+    rows = [
+        jnp.stack([c00, c10, c20], axis=-1),
+        jnp.stack([c01, c11, c21], axis=-1),
+        jnp.stack([c02, c12, c22], axis=-1),
+    ]
+    return jnp.stack(rows, axis=-2) * inv_det[..., None, None]
+
+
+def inv_blocks(blocks: jax.Array) -> jax.Array:
+    """Batched small-block inverse: closed forms for 2x2/3x3 (the SE(2) and
+    SE(3) landmark pivots), generic solve otherwise."""
+    k = blocks.shape[-1]
+    if k == 2:
+        return inv2x2(blocks)
+    if k == 3:
+        return inv3x3(blocks)
+    return jnp.linalg.inv(blocks)
 
 
 def hpp_matvec(
@@ -467,6 +515,7 @@ def schur_linearize_solve(cfg: OptimizerConfig, axis_name: str | None = None):
             fixed_prior=cfg.fixed_prior,
             exact_odom_jacobians=cfg.exact_odom_jacobians,
             axis_name=axis_name,
+            edge_backend=cfg.edge_backend,
         )
         dx_p, dx_l = schur_solve(
             sys, graph, lam, cfg.pcg_tol, cfg.pcg_max_iters, axis_name
