@@ -1,0 +1,188 @@
+"""SE(3) extension: group ops, reprojection Jacobians, full BA convergence.
+
+The reference only names 3D support in its roadmap (reference
+README.md:52-56); these tests define the oracle for the new capability:
+autodiff-vs-analytic Jacobians (the same strategy test_residuals.py applies
+to the 2D edges) and ground-truth recovery on a synthetic BA problem.
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from toyslam_tpu.config import OptimizerConfig
+from toyslam_tpu.ops import residuals3d as res3
+from toyslam_tpu.ops import se3
+from toyslam_tpu.optimizer import GaussNewton
+from toyslam_tpu.sim import synthetic3d
+
+
+def _random_poses(rng, n):
+    w = rng.normal(scale=0.8, size=(n, 3)).astype(np.float32)
+    t = rng.normal(scale=2.0, size=(n, 3)).astype(np.float32)
+    R = se3.exp_so3(jnp.asarray(w))
+    return se3.make(R, jnp.asarray(t))
+
+
+def test_exp_log_roundtrip():
+    rng = np.random.default_rng(0)
+    w = rng.normal(scale=1.2, size=(64, 3)).astype(np.float32)
+    # log returns the principal axis-angle; keep test angles inside (0, pi)
+    norms = np.linalg.norm(w, axis=-1, keepdims=True)
+    w = w / np.maximum(norms, 1e-6) * np.minimum(norms, 3.0)
+    R = se3.exp_so3(jnp.asarray(w))
+    w2 = se3.log_so3(R)
+    np.testing.assert_allclose(np.asarray(w2), w, rtol=1e-3, atol=1e-4)
+    # outside the principal domain, exp(log(R)) still reproduces R
+    w_big = rng.normal(scale=4.0, size=(32, 3)).astype(np.float32)
+    R_big = se3.exp_so3(jnp.asarray(w_big))
+    R_rt = se3.exp_so3(se3.log_so3(R_big))
+    np.testing.assert_allclose(
+        np.asarray(R_rt), np.asarray(R_big), atol=1e-4
+    )
+    # rotations are orthonormal with det +1
+    RtR = jnp.einsum("...ji,...jk->...ik", R, R)
+    np.testing.assert_allclose(
+        np.asarray(RtR), np.broadcast_to(np.eye(3), RtR.shape), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(jnp.linalg.det(R)), np.ones(64), atol=1e-5
+    )
+
+
+def test_exp_small_angle_stable():
+    w = jnp.asarray([[1e-9, 0.0, 0.0], [0.0, 0.0, 0.0]], jnp.float32)
+    R = se3.exp_so3(w)
+    assert np.all(np.isfinite(np.asarray(R)))
+    np.testing.assert_allclose(np.asarray(R[1]), np.eye(3), atol=1e-7)
+    # gradient through exp at zero is finite
+    g = jax.jacfwd(lambda x: se3.exp_so3(x).sum())(jnp.zeros(3))
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_compose_inverse_identity():
+    rng = np.random.default_rng(1)
+    a = _random_poses(rng, 32)
+    b = _random_poses(rng, 32)
+    ident = se3.compose(a, se3.inverse(a))
+    np.testing.assert_allclose(
+        np.asarray(ident), np.asarray(se3.identity((32,))), atol=1e-5
+    )
+    # associativity against point transforms
+    pt = jnp.asarray(rng.normal(size=(32, 3)).astype(np.float32))
+    lhs = se3.transform_point(se3.compose(a, b), pt)
+    rhs = se3.transform_point(a, se3.transform_point(b, pt))
+    np.testing.assert_allclose(np.asarray(lhs), np.asarray(rhs), atol=1e-4)
+
+
+def test_retract_orthonormal():
+    rng = np.random.default_rng(2)
+    p = _random_poses(rng, 16)
+    d = jnp.asarray(rng.normal(scale=0.3, size=(16, 6)).astype(np.float32))
+    q = se3.retract(p, d)
+    R = se3.rot(q)
+    RtR = jnp.einsum("...ji,...jk->...ik", R, R)
+    np.testing.assert_allclose(
+        np.asarray(RtR), np.broadcast_to(np.eye(3), RtR.shape), atol=1e-5
+    )
+
+
+def test_reproj_jacobians_match_autodiff():
+    rng = np.random.default_rng(3)
+    n, m, e = 8, 16, 40
+    # cameras below the landmark box looking up (+z): small rotation
+    # perturbations keep every landmark in front (z_c > 0), so the
+    # projection is well-posed and the clamp in project() is inactive
+    w = rng.normal(scale=0.15, size=(n, 3)).astype(np.float32)
+    t = np.stack(
+        [
+            rng.uniform(-1, 1, n),
+            rng.uniform(-1, 1, n),
+            rng.uniform(-8, -4, n),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    poses = se3.make(se3.exp_so3(jnp.asarray(w)), jnp.asarray(t))
+    lms = jnp.asarray(rng.uniform(-1, 1, size=(m, 3)).astype(np.float32))
+    intr = jnp.asarray([500.0, 480.0, 320.0, 240.0], jnp.float32)
+    pose_idx = jnp.asarray(rng.integers(0, n, e), jnp.int32)
+    lm_idx = jnp.asarray(rng.integers(0, m, e), jnp.int32)
+    meas = jnp.asarray(rng.normal(size=(e, 2)).astype(np.float32))
+    info = jnp.broadcast_to(jnp.eye(2, dtype=jnp.float32), (e, 2, 2))
+    mask = jnp.ones((e,), jnp.float32)
+
+    ev = res3.eval_reproj_edges(
+        poses, lms, intr, pose_idx, lm_idx, meas, info, mask, 1e9
+    )
+
+    def residual(eps_pose, eps_lm, p, X):
+        p2 = se3.retract(p, eps_pose)
+        X2 = X + eps_lm
+        Rt = jnp.swapaxes(se3.rot(p2), -1, -2)
+        x_c = Rt @ (X2 - se3.trans(p2))
+        return res3.project(intr, x_c)
+
+    z6 = jnp.zeros((e, 6), jnp.float32)
+    z3 = jnp.zeros((e, 3), jnp.float32)
+    JA = jax.vmap(jax.jacfwd(residual, argnums=0))(
+        z6, z3, poses[pose_idx], lms[lm_idx]
+    )
+    JB = jax.vmap(jax.jacfwd(residual, argnums=1))(
+        z6, z3, poses[pose_idx], lms[lm_idx]
+    )
+    np.testing.assert_allclose(
+        np.asarray(ev.JA), np.asarray(JA), rtol=1e-3, atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(ev.JB), np.asarray(JB), rtol=1e-3, atol=1e-3
+    )
+
+
+def test_odom3d_residual_zero_at_truth():
+    rng = np.random.default_rng(4)
+    a = _random_poses(rng, 10)
+    b = _random_poses(rng, 10)
+    meas = se3.relative(a, b)
+    i = jnp.arange(10, dtype=jnp.int32)
+    poses = jnp.concatenate([a, b], axis=0)
+    ev = res3.eval_odom3d_edges(
+        poses, i, i + 10, meas,
+        jnp.broadcast_to(jnp.eye(6, dtype=jnp.float32), (10, 6, 6)),
+        jnp.ones((10,), jnp.float32), 1.5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ev.r), np.zeros((10, 6)), atol=1e-4
+    )
+
+
+def test_ba_converges_to_ground_truth():
+    graph, poses_gt, lms_gt = synthetic3d.make_ba_problem(
+        num_poses=48, num_landmarks=160, obs_per_pose=20, seed=0
+    )
+    n = poses_gt.shape[0]
+    ate0 = synthetic3d.pose_ate_rmse(
+        np.asarray(graph.poses)[:n], poses_gt
+    )
+    cfg = OptimizerConfig(
+        iterations=25, lr=1.0, solver="schur3d",
+        exact_odom_jacobians=True, huber_delta=1e9,
+        pcg_tol=1e-8, pcg_max_iters=400, convergence_eps=1e-8,
+    )
+    res = GaussNewton(cfg).optimize(graph)
+    est = np.asarray(res.graph.poses)[:n]
+    ate1 = synthetic3d.pose_ate_rmse(est, poses_gt)
+
+    errors = np.asarray(res.errors)
+    valid = errors[~np.isnan(errors)]
+    # reaches the noise-floor chi^2 (~#residuals; same floor as optimizing
+    # from the ground-truth state), not merely "decreased"
+    assert valid[-1] < valid[0] * 0.01, (valid[0], valid[-1])
+    # remaining ATE is dominated by the single-fixed-pose gauge freedom
+    assert ate1 < ate0 * 0.5, (ate0, ate1)
+    # rotations stay on the manifold through the whole optimization
+    R = np.asarray(se3.rot(res.graph.poses[:n]))
+    rtr = np.einsum("nji,njk->nik", R, R)
+    np.testing.assert_allclose(
+        rtr, np.broadcast_to(np.eye(3), rtr.shape), atol=1e-3
+    )

@@ -29,5 +29,11 @@ from toyslam_tpu.models.graph import (
     LandmarkEdges,
     GraphBuilder2D,
 )
+from toyslam_tpu.models.graph3d import (
+    FactorGraph3D,
+    Odom3DEdges,
+    ReprojEdges,
+    GraphBuilder3D,
+)
 
 __version__ = "0.1.0"

@@ -134,6 +134,15 @@ class OptimizerConfig:
     # component-major Pallas TPU kernels (ops/pallas_edges.py; interpreted
     # on CPU).
     edge_backend: str = "xla"
+    # True Levenberg-Marquardt step control: after each solve, evaluate the
+    # error at the *updated* state (residuals only — cheap next to the
+    # solve); if it increased, revert the step and multiply lambda by
+    # ``lambda_reject_factor``.  The reference has no such control (it keeps
+    # worsened steps and eventually aborts, graph_optimizer.py:47-54), so
+    # this defaults off for parity; the SE(3)/BA path needs it for
+    # robustness on loosely-constrained problems.
+    reject_worse_steps: bool = False
+    lambda_reject_factor: float = 10.0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -140,6 +140,13 @@ class GraphBuilder3D:
         self._lm_fixed.append(bool(fixed))
         return idx
 
+    def landmark_index(self, external_id: int) -> int:
+        return self._lm_index[external_id]
+
+    @property
+    def landmark_id_map(self) -> dict[int, int]:
+        return dict(self._lm_index)
+
     def add_odom_edge(self, i: int, j: int, meas_flat12, info6) -> None:
         self._odom.append(
             (

@@ -471,7 +471,7 @@ def schur_solve(
     cross the mesh (one [N,3] psum per iteration — rides ICI).
     """
     d = damp(sys, lam)
-    hll_inv = inv2x2(d.hll)
+    hll_inv = inv_blocks(d.hll)
 
     rhs = -d.bp + hpl_matvec(
         d, graph.lm_edges.pose, graph.lm_edges.lm,

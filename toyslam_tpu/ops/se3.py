@@ -86,8 +86,7 @@ def log_so3(R: Array) -> Array:
     use it operate on small relative rotations.
     """
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
-    cos_t = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_t)
+    cos_t = jnp.clip((trace - 1.0) * 0.5, -1.0 + 1e-7, 1.0)
     w = 0.5 * jnp.stack(
         [
             R[..., 2, 1] - R[..., 1, 2],
@@ -96,13 +95,20 @@ def log_so3(R: Array) -> Array:
         ],
         axis=-1,
     )
-    theta2 = theta * theta
-    small = theta2 < _EPS
-    # theta / sin(theta), series 1 + theta^2/6 near zero
+    # theta/sin(theta) with a gradient-safe small-angle series.  The naive
+    # ``arccos`` has an infinite derivative at cos_t -> 1 which poisons
+    # autodiff even through jnp.where (the optimizer differentiates this for
+    # exact odometry Jacobians; an identity residual — common at init —
+    # would turn the whole gradient NaN).  Double-where: the untaken branch
+    # is evaluated at a safe argument so both primal and tangent stay finite.
+    near_zero = cos_t > 1.0 - 1e-6
+    safe_cos = jnp.where(near_zero, jnp.zeros_like(cos_t), cos_t)
+    theta = jnp.arccos(safe_cos)
+    # series: theta^2 ~= 2(1 - cos_t)  =>  theta/sin ~= 1 + (1 - cos_t)/3
     scale = jnp.where(
-        small,
-        1.0 + theta2 / 6.0,
-        theta / jnp.sin(jnp.where(small, 1.0, theta)),
+        near_zero,
+        1.0 + (1.0 - cos_t) / 3.0,
+        theta / jnp.sin(theta),
     )
     return w * scale[..., None]
 

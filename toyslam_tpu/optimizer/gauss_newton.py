@@ -88,10 +88,23 @@ class _LoopState(NamedTuple):
 
 @dataclasses.dataclass(frozen=True)
 class GaussNewton:
-    """Configured optimizer; ``optimize`` is jit-compiled per graph shape."""
+    """Configured optimizer; ``optimize`` is jit-compiled per graph shape.
+
+    Works on any graph pytree exposing the FactorGraph2D protocol
+    (``with_state``, ``poses``, ``landmarks``, ``plan``, edge index arrays);
+    ``retract`` maps a pose tangent step onto the pose manifold —
+    ``se2.retract`` for 2D (default), ``se3.retract`` for the SE(3)/BA
+    graphs (config.solver = "schur3d").  Landmarks update additively in
+    both (reference vertices.py:35-46).
+    """
 
     config: OptimizerConfig = OptimizerConfig()
     solve: LinearizeSolve | None = None
+    retract: Callable[[jax.Array, jax.Array], jax.Array] | None = None
+    # graph -> robust chi^2 at the current state; required only when
+    # config.reject_worse_steps (resolved automatically for the builtin
+    # solvers).
+    error_fn: Callable | None = None
 
     def __post_init__(self):
         # Build the linearize-solve ONCE: _run's jit cache is keyed on the
@@ -104,20 +117,49 @@ class GaussNewton:
                 from toyslam_tpu.ops.schur import schur_linearize_solve
 
                 solve = schur_linearize_solve(self.config)
+            elif self.config.solver == "schur3d":
+                from toyslam_tpu.ops.schur3d import schur3d_linearize_solve
+
+                solve = schur3d_linearize_solve(self.config)
             else:
                 solve = dense_linearize_solve(self.config)
             object.__setattr__(self, "solve", solve)
+        if self.retract is None:
+            if self.config.solver == "schur3d":
+                from toyslam_tpu.ops import se3
+
+                object.__setattr__(self, "retract", se3.retract)
+            else:
+                object.__setattr__(self, "retract", se2.retract)
+        if self.config.reject_worse_steps and self.error_fn is None:
+            cfg = self.config
+            if cfg.solver == "schur3d":
+                from toyslam_tpu.ops.schur3d import total_error_3d
+
+                err = functools.partial(
+                    total_error_3d,
+                    huber_delta=cfg.huber_delta,
+                    exact_odom_jacobians=cfg.exact_odom_jacobians,
+                )
+            else:
+                err = functools.partial(
+                    assemble.total_error,
+                    huber_delta=cfg.huber_delta,
+                    exact_odom_jacobians=cfg.exact_odom_jacobians,
+                )
+            object.__setattr__(self, "error_fn", err)
 
     def _solver(self) -> LinearizeSolve:
         return self.solve
 
     def _prepare(self, graph: FactorGraph2D) -> FactorGraph2D:
-        # The single-device Schur path wants the scatter-free gather tables
-        # (ops/gather_plan.py); build them host-side once per graph.  A
-        # custom solve (e.g. the distributed one) manages its own layout.
+        # The single-device Schur paths want the scatter-free gather tables
+        # (ops/gather_plan.py — structure-generic, works for 2D and 3D
+        # graphs); build them host-side once per graph.  A custom solve
+        # (e.g. the distributed one) manages its own layout.
         if (
             self._builtin_solver
-            and self.config.solver == "schur"
+            and self.config.solver in ("schur", "schur3d")
             and graph.plan is None
         ):
             from toyslam_tpu.ops.gather_plan import attach_plan
@@ -126,7 +168,10 @@ class GaussNewton:
         return graph
 
     def optimize(self, graph: FactorGraph2D) -> OptimizeResult:
-        return _run(self.config, self._solver(), self._prepare(graph))
+        return _run(
+            self.config, self._solver(), self.retract, self.error_fn,
+            self._prepare(graph),
+        )
 
     def step(
         self, graph: FactorGraph2D, lam: jax.Array | float | None = None
@@ -137,14 +182,18 @@ class GaussNewton:
             cfg.lambda_init if lam is None else lam, graph.poses.dtype
         )
         dx_p, dx_l, err = self._solver()(graph, lam)
-        poses = se2.retract(graph.poses, dx_p * cfg.lr)
+        poses = self.retract(graph.poses, dx_p * cfg.lr)
         landmarks = graph.landmarks + dx_l * cfg.lr
         return graph.with_state(poses, landmarks), err
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1))
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
 def _run(
-    cfg: OptimizerConfig, solve: LinearizeSolve, graph: FactorGraph2D
+    cfg: OptimizerConfig,
+    solve: LinearizeSolve,
+    retract: Callable,
+    error_fn: Callable | None,
+    graph: FactorGraph2D,
 ) -> OptimizeResult:
     dtype = graph.poses.dtype
     lam_f = jnp.asarray(cfg.lambda_factor, dtype)
@@ -158,6 +207,39 @@ def _run(
         # (graph_optimizer.py:42); first iteration leaves lambda alone only
         # via the prev_err < 0 guard.
         dx_p, dx_l, err = solve(g, s.lam)
+
+        step_p = dx_p * cfg.lr
+        step_l = dx_l * cfg.lr
+        dx_norm = jnp.sqrt(jnp.sum(step_p**2) + jnp.sum(step_l**2))
+        errors = s.errors.at[s.it].set(err)
+
+        if cfg.reject_worse_steps:
+            # True LM trust-region control: evaluate the error *at the
+            # updated state* (residuals only — cheap next to the solve) and
+            # revert rejected steps with a strong lambda increase.  The
+            # reference has no equivalent (it keeps worsened steps).
+            new_poses = retract(s.poses, step_p)
+            new_landmarks = s.landmarks + step_l
+            err_new = error_fn(graph.with_state(new_poses, new_landmarks))
+            accept = err_new <= err
+            lam = jnp.where(
+                accept,
+                jnp.maximum(s.lam / lam_f, cfg.lambda_min),
+                jnp.minimum(
+                    s.lam * cfg.lambda_reject_factor, cfg.lambda_max
+                ),
+            )
+            return _LoopState(
+                poses=jnp.where(accept, new_poses, s.poses),
+                landmarks=jnp.where(accept, new_landmarks, s.landmarks),
+                it=s.it + 1,
+                prev_err=jnp.where(accept, err_new, err),
+                penalty=jnp.where(accept, 0, s.penalty + 1),
+                lam=lam,
+                errors=errors,
+                converged=accept & (dx_norm < cfg.convergence_eps),
+                diverged=jnp.asarray(False),  # lambda control bounds steps
+            )
 
         have_prev = s.prev_err >= 0.0
         increased = have_prev & (err > s.prev_err)
@@ -174,17 +256,13 @@ def _run(
         penalty = jnp.where(increased, s.penalty + 1, 0)
         diverged = penalty > cfg.penalty_limit
 
-        step_p = dx_p * cfg.lr
-        step_l = dx_l * cfg.lr
-        dx_norm = jnp.sqrt(jnp.sum(step_p**2) + jnp.sum(step_l**2))
         converged = dx_norm < cfg.convergence_eps
 
         # On a divergence break the reference exits before the solve/update;
         # keep the old state in that case.
-        poses = jnp.where(diverged, s.poses, se2.retract(s.poses, step_p))
+        poses = jnp.where(diverged, s.poses, retract(s.poses, step_p))
         landmarks = jnp.where(diverged, s.landmarks, s.landmarks + step_l)
 
-        errors = s.errors.at[s.it].set(err)
         return _LoopState(
             poses=poses,
             landmarks=landmarks,
