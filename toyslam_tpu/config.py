@@ -126,9 +126,12 @@ class OptimizerConfig:
     # dense linear solve: "cholesky" (fast, H is SPD) or "lu" (reference
     # parity: scipy.linalg.solve, graph_optimizer.py:64)
     dense_factorization: str = "cholesky"
-    # PCG controls (schur solver only)
+    # PCG controls (schur solver only).  ``pcg_restart_every`` bounds f32
+    # recurrence-residual drift via periodic true-residual replacement
+    # (ops/schur.py pcg).
     pcg_tol: float = 1e-6
     pcg_max_iters: int = 200
+    pcg_restart_every: int = 64
     # Per-edge linearization backend (schur solver): "xla" — batched jnp
     # formulas fused by XLA (the correctness oracle); "pallas" — fused
     # component-major Pallas TPU kernels (ops/pallas_edges.py; interpreted

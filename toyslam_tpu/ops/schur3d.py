@@ -159,7 +159,8 @@ def schur3d_linearize_solve(cfg: OptimizerConfig, axis_name: str | None = None):
             axis_name=axis_name,
         )
         dx_p, dx_l = schur.schur_solve(
-            sys, graph, lam, cfg.pcg_tol, cfg.pcg_max_iters, axis_name
+            sys, graph, lam, cfg.pcg_tol, cfg.pcg_max_iters, axis_name,
+            cfg.pcg_restart_every,
         )
         return dx_p, dx_l, sys.err
 

@@ -11,5 +11,7 @@ devices, every reduction is a deterministic XLA collective over ICI/DCN.
 from toyslam_tpu.parallel.mesh import make_mesh, pad_edges_for_mesh
 from toyslam_tpu.parallel.distributed import (
     distributed_linearize_solve,
+    distributed_linearize_solve_3d,
     graph_shard_specs,
+    graph3d_shard_specs,
 )

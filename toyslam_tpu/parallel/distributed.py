@@ -47,6 +47,28 @@ def graph_shard_specs(axis: str = EDGE_AXIS) -> FactorGraph2D:
     )
 
 
+def graph3d_shard_specs(axis: str = EDGE_AXIS):
+    """PartitionSpec pytree for a FactorGraph3D (same layout policy: edges
+    sharded along the mesh, pose/landmark states + intrinsics replicated)."""
+    from toyslam_tpu.models.graph3d import (
+        FactorGraph3D, Odom3DEdges, ReprojEdges,
+    )
+
+    e = P(axis)
+    r = P()
+    return FactorGraph3D(
+        poses=r,
+        landmarks=r,
+        pose_mask=r,
+        lm_mask=r,
+        pose_fixed=r,
+        lm_fixed=r,
+        odom=Odom3DEdges(i=e, j=e, meas=e, info=e, mask=e),
+        lm_edges=ReprojEdges(pose=e, lm=e, meas=e, info=e, mask=e),
+        intrinsics=r,
+    )
+
+
 def distributed_linearize_solve(
     cfg: OptimizerConfig, mesh: Mesh, axis: str = EDGE_AXIS
 ):
@@ -71,6 +93,35 @@ def distributed_linearize_solve(
         if graph.plan is not None:
             # gather tables index the *global* edge arrays; under shard_map
             # each device sees only its shard, so fall back to segment_sum
+            graph = dataclasses.replace(graph, plan=None)
+        graph = pad_edges_for_mesh(graph, n_dev)
+        return sharded(graph, lam)
+
+    return solve
+
+
+def distributed_linearize_solve_3d(
+    cfg: OptimizerConfig, mesh: Mesh, axis: str = EDGE_AXIS
+):
+    """Distributed SE(3) BA: same edge-sharded collective-Schur design as
+    the 2D path, over the 6/3 block system (ops/schur3d.py).  Plugs into
+    ``GaussNewton(config, solve=..., retract=se3.retract)``."""
+    from toyslam_tpu.ops.schur3d import schur3d_linearize_solve
+
+    inner = schur3d_linearize_solve(cfg, axis_name=axis)
+    specs = graph3d_shard_specs(axis)
+
+    sharded = shard_map(
+        inner,
+        mesh=mesh,
+        in_specs=(specs, P()),
+        out_specs=(P(), P(), P()),
+    )
+
+    n_dev = mesh.shape[axis]
+
+    def solve(graph, lam: jax.Array):
+        if graph.plan is not None:
             graph = dataclasses.replace(graph, plan=None)
         graph = pad_edges_for_mesh(graph, n_dev)
         return sharded(graph, lam)
