@@ -55,13 +55,19 @@ def main():
 
     # Pipelined timing: enqueue all reps, block once.  The per-call host
     # dispatch round-trip (~70 ms through the remote-TPU tunnel) would
-    # otherwise swamp the ~5 ms device time of the small workload; device
+    # otherwise swamp the ~1 ms device time of the small workload; device
     # execution is serialized per queue so total/reps is honest device time.
-    reps = 20
-    t0 = time.perf_counter()
-    results = [gn.optimize(graph) for _ in range(reps)]
-    jax.block_until_ready(results)
-    wall = (time.perf_counter() - t0) / reps
+    # The first round(s) after compile still pay one-time remote-executable
+    # cache warming (measured: 80 ms/opt on round 0 vs ~1 ms steady state),
+    # and the tunnel adds multi-ms jitter per round — so run several rounds
+    # and report the best (steady-state device throughput).
+    reps, rounds = 20, 5
+    wall = float("inf")
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        results = [gn.optimize(graph) for _ in range(reps)]
+        jax.block_until_ready(results)
+        wall = min(wall, (time.perf_counter() - t0) / reps)
 
     # single-call latency (includes one dispatch round-trip)
     t0 = time.perf_counter()
