@@ -5,16 +5,28 @@ damped Gauss-Newton, Schur+PCG solver) on the default JAX platform (TPU when
 available) and prints ONE JSON line comparing against the measured reference
 baseline (BASELINE_MEASURED.json — the reference's own Python optimizer run
 on identical graph data; see scripts/measure_reference_baseline.py).
+
+Timing methodology (v2): on the remote-TPU ('axon') platform
+``jax.block_until_ready`` does NOT block — it returns while the enqueued
+program is still running, so any timing fenced by it measures host enqueue
+cost, not device time (this inflated/deflated round-1 artifacts).  The only
+reliable fence is fetching output bytes to the host; device execution is
+in-order, so fetching the last result of a pipelined batch bounds the whole
+batch.  We enqueue ``reps`` optimizes back-to-back, fetch the final poses,
+subtract one measured round-trip, and report per-call time.  Median and all
+rounds are reported alongside the best (ADVICE r1).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -33,6 +45,19 @@ def _load_baseline():
     return None
 
 
+def _rtt() -> float:
+    """One enqueue+fetch round trip of a trivial program."""
+    f = jax.jit(lambda x: x + 1.0)
+    x = jnp.zeros((1,), jnp.float32)
+    float(np.asarray(f(x))[0])
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(np.asarray(f(x))[0])
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def main():
     cfg = SlamConfig(
         sim=SimConfig(robot_steps=150, seed=0),
@@ -47,36 +72,38 @@ def main():
     n_real = gt.shape[0]
 
     gn = GaussNewton(cfg.optimizer)
+    # host->device once: structure tables + arrays (the workload is repeated
+    # optimization of a resident graph, as on the reference's server path)
+    gdev = jax.device_put(gn._prepare(graph))
 
-    # warmup / compile
-    result = gn.optimize(graph)
-    jax.block_until_ready(result.graph.poses)
+    # warmup / compile (np.asarray is the fence — see module docstring)
+    result = gn.optimize(gdev)
+    est = np.asarray(result.graph.poses)[:n_real]
     iters_run = int(result.iterations_run)
+    base_rtt = _rtt()
 
-    # Pipelined timing: enqueue all reps, block once.  The per-call host
-    # dispatch round-trip (~70 ms through the remote-TPU tunnel) would
-    # otherwise swamp the ~1 ms device time of the small workload; device
-    # execution is serialized per queue so total/reps is honest device time.
-    # The first round(s) after compile still pay one-time remote-executable
-    # cache warming (measured: 80 ms/opt on round 0 vs ~1 ms steady state),
-    # and the tunnel adds multi-ms jitter per round — so run several rounds
-    # and report the best (steady-state device throughput).
     reps, rounds = 20, 5
-    wall = float("inf")
+    times = []
     for _ in range(rounds):
         t0 = time.perf_counter()
-        results = [gn.optimize(graph) for _ in range(reps)]
-        jax.block_until_ready(results)
-        wall = min(wall, (time.perf_counter() - t0) / reps)
+        r = None
+        for _ in range(reps):
+            r = gn.optimize(gdev)
+        _ = np.asarray(r.graph.poses)  # fence: drains the in-order queue
+        times.append(
+            max((time.perf_counter() - t0 - base_rtt) / reps, 1e-9)
+        )
 
-    # single-call latency (includes one dispatch round-trip)
+    best = min(times)
+    median = statistics.median(times)
+    iters_per_s = iters_run / best
+
+    # single-call latency (includes one dispatch+fetch round trip)
     t0 = time.perf_counter()
-    jax.block_until_ready(gn.optimize(graph).graph.poses)
+    _ = np.asarray(gn.optimize(gdev).graph.poses)
     latency = time.perf_counter() - t0
 
-    best = wall
-    iters_per_s = iters_run / best
-    ate = frontend.ate_rmse(np.asarray(result.graph.poses)[:n_real], gt)
+    ate = frontend.ate_rmse(est, gt)
     ate_dr = frontend.ate_rmse(np.asarray(sim.poses_dr), gt)
 
     baseline = _load_baseline()
@@ -94,8 +121,11 @@ def main():
         if baseline else None,
         "dead_reckoning_ate_rmse": round(ate_dr, 4),
         "iterations": iters_run,
-        "wall_s_per_opt": round(best, 5),
+        "wall_s_per_opt_best": round(best, 5),
+        "wall_s_per_opt_median": round(median, 5),
+        "wall_s_per_opt_rounds": [round(t, 5) for t in times],
         "latency_s_single_call": round(latency, 5),
+        "rtt_s": round(base_rtt, 5),
         "platform": jax.devices()[0].platform,
         "device": str(jax.devices()[0]),
     }

@@ -37,10 +37,10 @@ def test_distributed_solve_matches_single_device(setup):
     lam = jnp.asarray(1e-3)
 
     dist_solve = distributed_linearize_solve(cfg, mesh)
-    dxp_d, dxl_d, err_d = jax.jit(dist_solve)(graph, lam)
+    dxp_d, dxl_d, err_d, _ = jax.jit(dist_solve)(graph, lam)
 
     local_solve = schur.schur_linearize_solve(cfg)
-    dxp_s, dxl_s, err_s = jax.jit(local_solve)(graph, lam)
+    dxp_s, dxl_s, err_s, _ = jax.jit(local_solve)(graph, lam)
 
     np.testing.assert_allclose(float(err_d), float(err_s), rtol=1e-5)
     np.testing.assert_allclose(

@@ -97,7 +97,7 @@ def test_schur_solve_matches_dense_solve(setup):
     n, m = graph.num_poses, graph.num_landmarks
     lam = jnp.asarray(1e-3)
     sys = schur.assemble_blocks(graph, huber_delta=1.5)
-    dx_p, dx_l = schur.schur_solve(sys, graph, lam, tol=1e-8, max_iters=500)
+    dx_p, dx_l, _ = schur.schur_solve(sys, graph, lam, tol=1e-8, max_iters=500)
 
     H, b = _dense_hb(graph)
     D = H.shape[0]
@@ -127,3 +127,119 @@ def test_gauss_newton_with_schur_solver(setup):
     errs_s = np.asarray(r_schur.errors)
     valid = ~np.isnan(errs_d) & ~np.isnan(errs_s)
     np.testing.assert_allclose(errs_s[valid], errs_d[valid], rtol=1e-2)
+
+
+def _random_block_tridiag(rng, n, d):
+    """Random SPD block-tridiagonal (diag, upper) + its dense form."""
+    diag = np.zeros((n, d, d))
+    upper = np.zeros((n, d, d))
+    for v in range(n):
+        a = rng.normal(size=(d, d))
+        diag[v] = a @ a.T + (2.0 * d) * np.eye(d)  # diagonally dominant
+    for v in range(n - 1):
+        upper[v] = 0.5 * rng.normal(size=(d, d))
+    D = n * d
+    M = np.zeros((D, D))
+    for v in range(n):
+        M[v * d : v * d + d, v * d : v * d + d] = diag[v]
+        if v < n - 1:
+            M[v * d : v * d + d, (v + 1) * d : (v + 2) * d] = upper[v]
+            M[(v + 1) * d : (v + 2) * d, v * d : v * d + d] = upper[v].T
+    return diag, upper, M
+
+
+@pytest.mark.parametrize("n,d", [(1, 3), (2, 3), (7, 3), (32, 3), (33, 2),
+                                 (50, 6)])
+def test_tridiag_pcr_solves_exactly(n, d):
+    """PCR factorization must solve M z = r to f32 accuracy (it is an exact
+    method, not an approximation)."""
+    rng = np.random.default_rng(3)
+    diag, upper, M = _random_block_tridiag(rng, n, d)
+    r = rng.normal(size=(n, d))
+    pre = schur.build_tridiag_precond(
+        jnp.asarray(diag, jnp.float32), jnp.asarray(upper, jnp.float32)
+    )
+    z = np.asarray(schur.tridiag_apply(pre, jnp.asarray(r, jnp.float32)))
+    want = np.linalg.solve(M, r.ravel()).reshape(n, d)
+    np.testing.assert_allclose(z, want, rtol=2e-4, atol=2e-4)
+
+
+def test_tridiag_precond_cuts_pcg_iterations():
+    """On a chain-dominated graph the tridiag preconditioner must converge
+    in far fewer PCG iterations than block-Jacobi."""
+    from toyslam_tpu.ops import blockmath as bm
+    from toyslam_tpu.ops.gather_plan import attach_plan
+    from toyslam_tpu.sim import synthetic
+
+    graph, _, _ = synthetic.make_large_problem(
+        num_poses=400, num_landmarks=300, obs_per_pose=4, seed=0,
+        pose_bucket=64, landmark_bucket=64, edge_bucket=256,
+    )
+    graph = attach_plan(graph)
+    lam = jnp.asarray(1e-3, jnp.float32)
+    sys = schur.assemble_blocks(graph, 1.5, exact_odom_jacobians=True)
+    d = schur.damp(sys, lam)
+    hll_inv = schur.inv_blocks(d.hll)
+    rhs = -d.bp + schur.hpl_matvec(
+        d, graph.lm_edges.pose, graph.lm_edges.lm,
+        bm.mv(hll_inv, d.bl), graph.num_poses, None, graph.plan,
+    )
+    op = schur.make_plan_operator(d, hll_inv, graph)
+    s_diag = schur.plan_s_diag(op)
+    matvec = lambda x: schur.plan_matvec(op, x)  # noqa: E731
+
+    m_inv = jnp.linalg.inv(s_diag)
+    res_j = schur.pcg(matvec, lambda r: bm.mv(m_inv, r), rhs, 1e-3, 1000)
+
+    upper = schur.chain_upper(d, graph.odom.i, graph.odom.j, graph.num_poses)
+    pre = schur.build_tridiag_precond(s_diag, upper)
+    chol_c = schur.build_coarse_precond(d, hll_inv, graph, 16)
+    res_t = schur.pcg(
+        matvec,
+        lambda r: schur.tridiag_apply(pre, r) + schur.coarse_apply(
+            chol_c, 16, r),
+        rhs, 1e-3, 1000,
+    )
+
+    it_j, it_t = int(res_j.iterations), int(res_t.iterations)
+    # measured on this problem: jacobi 120 iters, two-level 33
+    assert it_t * 2 < it_j, (it_t, it_j)
+    # both actually converged to the requested tolerance
+    rhs_norm = float(jnp.linalg.norm(rhs))
+    assert float(res_j.residual_norm) <= 1.5e-3 * rhs_norm
+    assert float(res_t.residual_norm) <= 1.5e-3 * rhs_norm
+
+
+def test_two_level_preconditioner_is_spd_and_consistent():
+    """The additive two-level preconditioner must be symmetric positive
+    definite (PCG requirement): check z^T M^-1 z > 0 and symmetry
+    <M^-1 a, b> == <a, M^-1 b> on random vectors."""
+    from toyslam_tpu.ops import blockmath as bm
+    from toyslam_tpu.ops.gather_plan import attach_plan
+    from toyslam_tpu.sim import synthetic
+
+    graph, _, _ = synthetic.make_large_problem(
+        num_poses=200, num_landmarks=150, obs_per_pose=4, seed=1,
+        pose_bucket=64, landmark_bucket=64, edge_bucket=256,
+    )
+    graph = attach_plan(graph)
+    sys = schur.assemble_blocks(graph, 1.5, exact_odom_jacobians=True)
+    d = schur.damp(sys, jnp.asarray(1e-3, jnp.float32))
+    hll_inv = schur.inv_blocks(d.hll)
+    op = schur.make_plan_operator(d, hll_inv, graph)
+    s_diag = schur.plan_s_diag(op)
+    upper = schur.chain_upper(d, graph.odom.i, graph.odom.j, graph.num_poses)
+    pre = schur.build_tridiag_precond(s_diag, upper)
+    chol_c = schur.build_coarse_precond(d, hll_inv, graph, 16)
+
+    def m_inv(r):
+        return schur.tridiag_apply(pre, r) + schur.coarse_apply(chol_c, 16, r)
+
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.normal(size=(graph.num_poses, 3)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(graph.num_poses, 3)), jnp.float32)
+    za, zb = m_inv(a), m_inv(b)
+    assert float(jnp.vdot(a, za)) > 0.0
+    assert float(jnp.vdot(b, zb)) > 0.0
+    lhs, rhs_ = float(jnp.vdot(za, b)), float(jnp.vdot(a, zb))
+    assert abs(lhs - rhs_) <= 1e-3 * max(abs(lhs), abs(rhs_)), (lhs, rhs_)

@@ -32,6 +32,78 @@ def _log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+def cmd_live(args, cfg) -> int:
+    """Per-frame incremental mode (reference slam_main.py:99-155,240-274):
+    step -> scan -> graph insert -> view updates, re-optimizing every
+    ``--optimize-every`` frames (0 = only at the end)."""
+    import numpy as np
+
+    from toyslam_tpu.optimizer import GaussNewton
+    from toyslam_tpu.sim import frontend
+    from toyslam_tpu.sim.live import LiveSlam, attach_views
+
+    live = LiveSlam(cfg)
+    gn = GaussNewton(cfg.optimizer)
+    optimize_fn = lambda g: gn.optimize(g).graph  # noqa: E731
+
+    update = None
+    view = None
+    if args.view or args.save_plot:
+        import matplotlib
+
+        if not args.view:
+            matplotlib.use("Agg")
+        from toyslam_tpu.view.view2d import View
+
+        view = View(title="toyslam_tpu live")
+        update = attach_views(live, view)
+
+    t0 = time.perf_counter()
+    opt_graph = None
+    n_opts = 0
+    while live.step():
+        if args.optimize_every and live.frame % args.optimize_every == 0:
+            opt_graph = live.optimize(optimize_fn)
+            n_opts += 1
+        if update is not None:
+            update(opt_graph)
+            if args.view:
+                view.pause(0.001)
+    opt_graph = live.optimize(optimize_fn)
+    n_opts += 1
+    if update is not None:
+        update(opt_graph)
+    wall = time.perf_counter() - t0
+
+    n = len(live.traj_gt)
+    gt = np.asarray(live.traj_gt, np.float32)
+    est = np.asarray(opt_graph.poses)[:n]
+    metrics = {
+        "cmd": "run --live",
+        "frames": live.frame,
+        "optimizations": n_opts,
+        "poses": n,
+        "landmarks": int(np.asarray(opt_graph.lm_mask).sum()),
+        "ate_rmse": round(frontend.ate_rmse(est, gt), 4),
+        "ate_dead_reckoning": round(
+            frontend.ate_rmse(np.asarray(live.traj_dr, np.float32), gt), 4
+        ),
+        "wall_s": round(wall, 4),
+        "frames_per_s": round(live.frame / wall, 2),
+    }
+    if args.save_plot and view is not None:
+        view.save(args.save_plot)
+        metrics["plot"] = args.save_plot
+    if view is not None:
+        if args.view:
+            import matplotlib.pyplot as plt
+
+            plt.show()
+        view.close()
+    print(json.dumps(metrics))
+    return 0
+
+
 def cmd_run(args) -> int:
     import numpy as np
 
@@ -48,6 +120,8 @@ def cmd_run(args) -> int:
             edge_backend=args.edge_backend,
         ),
     )
+    if args.live:
+        return cmd_live(args, cfg)
     t0 = time.perf_counter()
     sim = frontend.simulate(cfg.sim)
     t_sim = time.perf_counter() - t0
@@ -235,6 +309,12 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--edge-backend", choices=("xla", "pallas"),
                    default="xla")
     r.add_argument("--seed", type=int, default=0)
+    r.add_argument("--live", action="store_true",
+                   help="per-frame incremental mode with live view updates "
+                        "(reference slam_main.py:99-155)")
+    r.add_argument("--optimize-every", type=int, default=0, metavar="K",
+                   help="with --live: re-optimize every K frames "
+                        "(0 = only at the end)")
     r.add_argument("--remote", metavar="HOST:PORT", default=None,
                    help="optimize on a graph server (local fallback)")
     r.add_argument("--view", action="store_true",

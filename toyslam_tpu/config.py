@@ -132,6 +132,19 @@ class OptimizerConfig:
     pcg_tol: float = 1e-6
     pcg_max_iters: int = 200
     pcg_restart_every: int = 64
+    # PCG preconditioner (ops/schur.py schur_solve):
+    #   "jacobi"          — inverse block diagonal of S (local only);
+    #   "tridiag"         — exact block-tridiagonal solve (diagonal +
+    #                       odometry-chain coupling) via parallel cyclic
+    #                       reduction;
+    #   "jacobi+coarse" / "tridiag+coarse" — two-level: local + additive
+    #                       Galerkin coarse-grid correction over groups of
+    #                       ``pcg_coarse_group`` poses.  Large graphs need
+    #                       the coarse level: smooth error modes otherwise
+    #                       dominate (measured 10k-pose: 389 PCG iters with
+    #                       tridiag alone).
+    pcg_precond: str = "tridiag"
+    pcg_coarse_group: int = 64
     # Per-edge linearization backend (schur solver): "xla" — batched jnp
     # formulas fused by XLA (the correctness oracle); "pallas" — fused
     # component-major Pallas TPU kernels (ops/pallas_edges.py; interpreted

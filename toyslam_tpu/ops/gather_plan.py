@@ -48,13 +48,17 @@ class GatherPlan:
 
 
 def _build_table(
-    vertex_ids: np.ndarray, mask: np.ndarray, num_vertices: int, pad_to: int = 8
+    vertex_ids: np.ndarray, mask: np.ndarray, num_vertices: int, pad_to: int = 1
 ) -> VertexTable:
     ids = vertex_ids[mask > 0]
     edge_idx = np.nonzero(mask > 0)[0]
     counts = np.bincount(ids, minlength=num_vertices)
     k = int(counts.max()) if counts.size else 0
-    k = max(pad_to, -(-k // pad_to) * pad_to)
+    # capacity = the actual max incident count: TPU gather cost scales with
+    # ROWS gathered (measured ~2 ns/row, latency-bound), so padding K up
+    # (the old pad_to=8) multiplied the dominant PCG matvec cost — for the
+    # odometry chain (true K=1) by 8x.
+    k = max(pad_to, -(-k // pad_to) * pad_to, 1)
     tbl = np.zeros((num_vertices, k), np.int32)
     msk = np.zeros((num_vertices, k), np.float32)
     # vectorized slot assignment: edges sorted by vertex id keep their

@@ -158,10 +158,10 @@ def schur3d_linearize_solve(cfg: OptimizerConfig, axis_name: str | None = None):
             exact_odom_jacobians=cfg.exact_odom_jacobians,
             axis_name=axis_name,
         )
-        dx_p, dx_l = schur.schur_solve(
+        dx_p, dx_l, stats = schur.schur_solve(
             sys, graph, lam, cfg.pcg_tol, cfg.pcg_max_iters, axis_name,
-            cfg.pcg_restart_every,
+            cfg.pcg_restart_every, cfg.pcg_precond, cfg.pcg_coarse_group,
         )
-        return dx_p, dx_l, sys.err
+        return dx_p, dx_l, sys.err, stats
 
     return solve

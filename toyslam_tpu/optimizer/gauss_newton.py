@@ -33,12 +33,16 @@ from toyslam_tpu.models.graph import FactorGraph2D
 from toyslam_tpu.ops import assemble, se2
 
 # A linearize-solve computes the (undamped) normal equations at the current
-# state, applies `lam` damping, and returns (dx_poses[N,3], dx_lms[M,2], err)
-# where dx solves (H + lam I) dx = -b and err is the robust chi^2 *at the
-# current state* (pre-update), matching calculate_H_b's return value.
+# state, applies `lam` damping, and returns (dx_poses[N,3], dx_lms[M,2],
+# err, stats) where dx solves (H + lam I) dx = -b, err is the robust chi^2
+# *at the current state* (pre-update, matching calculate_H_b's return
+# value), and stats is a schur.SolveStats telemetry record.
 LinearizeSolve = Callable[
-    [FactorGraph2D, jax.Array], tuple[jax.Array, jax.Array, jax.Array]
+    [FactorGraph2D, jax.Array],
+    tuple[jax.Array, jax.Array, jax.Array, "SolveStats"],
 ]
+
+from toyslam_tpu.ops.schur import SolveStats  # noqa: E402
 
 
 class OptimizeResult(NamedTuple):
@@ -47,6 +51,11 @@ class OptimizeResult(NamedTuple):
     iterations_run: jax.Array  # i32[]
     converged: jax.Array       # bool[] stopped via ||dx|| < eps
     diverged: jax.Array        # bool[] stopped via the worsening-error penalty
+    # telemetry (the reference prints these; we carry them as data —
+    # BlockTimer analogue, reference remote/tools/BlockTimer.cpp:6-19)
+    pcg_iters: jax.Array = None       # i32[iterations] PCG iters per GN iter
+    pcg_residuals: jax.Array = None   # f32[iterations] final PCG residual
+    lambdas: jax.Array = None         # f32[iterations] damping per GN iter
 
 
 def dense_linearize_solve(cfg: OptimizerConfig) -> LinearizeSolve:
@@ -69,7 +78,7 @@ def dense_linearize_solve(cfg: OptimizerConfig) -> LinearizeSolve:
         n = graph.num_poses
         dx_p = dx[: 3 * n].reshape(n, 3)
         dx_l = dx[3 * n :].reshape(graph.num_landmarks, 2)
-        return dx_p, dx_l, sys.err
+        return dx_p, dx_l, sys.err, SolveStats.direct(sys.H.dtype)
 
     return solve
 
@@ -84,6 +93,9 @@ class _LoopState(NamedTuple):
     errors: jax.Array
     converged: jax.Array
     diverged: jax.Array
+    pcg_iters: jax.Array
+    pcg_residuals: jax.Array
+    lambdas: jax.Array
 
 
 @dataclasses.dataclass(frozen=True)
@@ -181,7 +193,7 @@ class GaussNewton:
         lam = jnp.asarray(
             cfg.lambda_init if lam is None else lam, graph.poses.dtype
         )
-        dx_p, dx_l, err = self._solver()(graph, lam)
+        dx_p, dx_l, err, _ = self._solver()(graph, lam)
         poses = self.retract(graph.poses, dx_p * cfg.lr)
         landmarks = graph.landmarks + dx_l * cfg.lr
         return graph.with_state(poses, landmarks), err
@@ -206,12 +218,15 @@ def _run(
         # lambda update decision uses the *previous* iteration's error
         # (graph_optimizer.py:42); first iteration leaves lambda alone only
         # via the prev_err < 0 guard.
-        dx_p, dx_l, err = solve(g, s.lam)
+        dx_p, dx_l, err, stats = solve(g, s.lam)
 
         step_p = dx_p * cfg.lr
         step_l = dx_l * cfg.lr
         dx_norm = jnp.sqrt(jnp.sum(step_p**2) + jnp.sum(step_l**2))
         errors = s.errors.at[s.it].set(err)
+        pcg_iters = s.pcg_iters.at[s.it].set(stats.pcg_iters)
+        pcg_residuals = s.pcg_residuals.at[s.it].set(stats.pcg_residual)
+        lambdas = s.lambdas.at[s.it].set(s.lam)
 
         if cfg.reject_worse_steps:
             # True LM trust-region control: evaluate the error *at the
@@ -239,6 +254,9 @@ def _run(
                 errors=errors,
                 converged=accept & (dx_norm < cfg.convergence_eps),
                 diverged=jnp.asarray(False),  # lambda control bounds steps
+                pcg_iters=pcg_iters,
+                pcg_residuals=pcg_residuals,
+                lambdas=lambdas,
             )
 
         have_prev = s.prev_err >= 0.0
@@ -273,6 +291,9 @@ def _run(
             errors=errors,
             converged=converged & ~diverged,
             diverged=diverged,
+            pcg_iters=pcg_iters,
+            pcg_residuals=pcg_residuals,
+            lambdas=lambdas,
         )
 
     init = _LoopState(
@@ -285,6 +306,9 @@ def _run(
         errors=jnp.full((cfg.iterations,), jnp.nan, dtype),
         converged=jnp.asarray(False),
         diverged=jnp.asarray(False),
+        pcg_iters=jnp.zeros((cfg.iterations,), jnp.int32),
+        pcg_residuals=jnp.full((cfg.iterations,), jnp.nan, dtype),
+        lambdas=jnp.full((cfg.iterations,), jnp.nan, dtype),
     )
     final = jax.lax.while_loop(cond, body, init)
     return OptimizeResult(
@@ -293,4 +317,7 @@ def _run(
         iterations_run=final.it,
         converged=final.converged,
         diverged=final.diverged,
+        pcg_iters=final.pcg_iters,
+        pcg_residuals=final.pcg_residuals,
+        lambdas=final.lambdas,
     )

@@ -8,7 +8,13 @@ over a ``jax.sharding.Mesh``: edges and landmark blocks are sharded across
 devices, every reduction is a deterministic XLA collective over ICI/DCN.
 """
 
-from toyslam_tpu.parallel.mesh import make_mesh, pad_edges_for_mesh
+from toyslam_tpu.parallel.mesh import (
+    initialize_distributed,
+    make_host_mesh,
+    make_mesh,
+    pad_edges_for_mesh,
+    shard_graph,
+)
 from toyslam_tpu.parallel.distributed import (
     distributed_linearize_solve,
     distributed_linearize_solve_3d,

@@ -27,7 +27,11 @@ from jax import shard_map
 from toyslam_tpu.config import OptimizerConfig
 from toyslam_tpu.models.graph import FactorGraph2D, LandmarkEdges, OdomEdges
 from toyslam_tpu.ops import schur
+from toyslam_tpu.ops.schur import SolveStats
 from toyslam_tpu.parallel.mesh import EDGE_AXIS, pad_edges_for_mesh
+
+# the LinearizeSolve output spec: (dx_p, dx_l, err, stats) all replicated
+_OUT_SPECS = (P(), P(), P(), SolveStats(pcg_iters=P(), pcg_residual=P()))
 
 
 def graph_shard_specs(axis: str = EDGE_AXIS) -> FactorGraph2D:
@@ -84,7 +88,7 @@ def distributed_linearize_solve(
         inner,
         mesh=mesh,
         in_specs=(specs, P()),
-        out_specs=(P(), P(), P()),
+        out_specs=_OUT_SPECS,
     )
 
     n_dev = mesh.shape[axis]
@@ -115,7 +119,7 @@ def distributed_linearize_solve_3d(
         inner,
         mesh=mesh,
         in_specs=(specs, P()),
-        out_specs=(P(), P(), P()),
+        out_specs=_OUT_SPECS,
     )
 
     n_dev = mesh.shape[axis]
