@@ -99,3 +99,79 @@ def test_optimize_with_pallas_backend_matches_xla():
     err_p = np.asarray(res_pal.errors)
     valid = ~np.isnan(err_x)
     np.testing.assert_allclose(err_x[valid], err_p[valid], rtol=1e-4)
+
+
+# --- SE(3) reprojection kernel ------------------------------------------------
+
+
+def _random_reproj_edges(rng, n=23, m=41, e=207):
+    from toyslam_tpu.sim import synthetic3d
+
+    # valid rotations via the BA generator's exp map
+    w = rng.normal(scale=0.4, size=(n, 3))
+    rots = np.stack([synthetic3d._exp_so3(wi) for wi in w])
+    t = rng.normal(scale=2.0, size=(n, 3))
+    poses = np.concatenate(
+        [rots.reshape(n, 9), t], axis=1
+    ).astype(np.float32)
+    # landmarks safely in front of most cameras
+    lms = rng.normal(scale=1.0, size=(m, 3)).astype(np.float32)
+    lms[:, 2] += 8.0
+    intr = np.array([320.0, 320.0, 160.0, 120.0], np.float32)
+    pose_idx = rng.integers(0, n, size=e).astype(np.int32)
+    lm_idx = rng.integers(0, m, size=e).astype(np.int32)
+    meas = rng.normal(scale=50.0, size=(e, 2)).astype(np.float32) + 160.0
+    a = rng.normal(size=(e, 2, 2)).astype(np.float32)
+    info = (a @ np.swapaxes(a, -1, -2) + 0.5 * np.eye(2)).astype(np.float32)
+    mask = (rng.random(e) > 0.2).astype(np.float32)
+    return poses, lms, intr, pose_idx, lm_idx, meas, info, mask
+
+
+def test_reproj_blocks_match_oracle():
+    from toyslam_tpu.ops import edge_blocks3d
+
+    rng = np.random.default_rng(7)
+    args = _random_reproj_edges(rng)
+    ref = edge_blocks3d.reproj_edge_blocks(*args, HUBER, backend="xla")
+    got = edge_blocks3d.reproj_edge_blocks(*args, HUBER, backend="pallas")
+    for name, a, b in zip(ref._fields, ref, got):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=3e-4, atol=3e-3,
+            err_msg=f"ReprojBlocks.{name}",
+        )
+
+
+def test_ba3d_optimize_with_pallas_backend_matches_xla():
+    """Full SE(3) BA optimize: pallas and xla reprojection linearization
+    converge to the same state."""
+    from toyslam_tpu.sim import synthetic3d
+
+    graph, poses_gt, _ = synthetic3d.make_ba_problem(
+        num_poses=16, num_landmarks=64, obs_per_pose=10, seed=2
+    )
+    base = dict(
+        iterations=10, lr=1.0, solver="schur3d",
+        exact_odom_jacobians=True, huber_delta=1e9,
+        pcg_tol=1e-8, pcg_max_iters=200, convergence_eps=1e-8,
+        reject_worse_steps=True,
+    )
+    res_xla = GaussNewton(OptimizerConfig(**base)).optimize(graph)
+    res_pal = GaussNewton(
+        OptimizerConfig(edge_backend="pallas", **base)
+    ).optimize(graph)
+
+    # Per-edge blocks agree to ~3e-4 (test above); ten GN iterations of an
+    # ill-conditioned BA problem amplify f32 rounding, so the right
+    # equivalence is convergence quality, not bitwise poses.
+    ate_x = synthetic3d.pose_ate_rmse(
+        np.asarray(res_xla.graph.poses)[:16], poses_gt
+    )
+    ate_p = synthetic3d.pose_ate_rmse(
+        np.asarray(res_pal.graph.poses)[:16], poses_gt
+    )
+    err_x = np.asarray(res_xla.errors)
+    err_p = np.asarray(res_pal.errors)
+    chi_x = err_x[~np.isnan(err_x)][-1]
+    chi_p = err_p[~np.isnan(err_p)][-1]
+    np.testing.assert_allclose(ate_p, ate_x, rtol=0.1)
+    np.testing.assert_allclose(chi_p, chi_x, rtol=5e-2)

@@ -145,6 +145,18 @@ class OptimizerConfig:
     #                       tridiag alone).
     pcg_precond: str = "tridiag"
     pcg_coarse_group: int = 64
+    # How often the PCG preconditioner (tridiag PCR factors + coarse-grid
+    # Cholesky) is rebuilt: 1 = every GN iteration (always exact);
+    # 0 = built once at the initial state and FROZEN for the whole
+    # optimize() call; K>1 = rebuilt every K-th GN iteration.  A
+    # preconditioner only needs to *approximate* S, and its build cost
+    # (PCR factorization + coarse Cholesky, ~34 ms/iteration on the 10k
+    # workload) dominates the solve when PCG converges in a few dozen
+    # iterations — freezing trades a few extra PCG iterations for
+    # skipping the builds.  Single-device only: the distributed path
+    # always rebuilds (a conditional around psum-carrying builds would
+    # put collectives under lax.cond, which mis-lowers in shard_map).
+    pcg_precond_refresh: int = 1
     # Per-edge linearization backend (schur solver): "xla" — batched jnp
     # formulas fused by XLA (the correctness oracle); "pallas" — fused
     # component-major Pallas TPU kernels (ops/pallas_edges.py; interpreted

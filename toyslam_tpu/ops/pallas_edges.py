@@ -59,6 +59,16 @@ def _row(ref, k):
     return ref[k : k + 1, :]
 
 
+
+def _out_struct(rows: int, ep: int, dtype, like):
+    """ShapeDtypeStruct for pallas_call outputs, propagating the input's
+    varying-mesh-axes (vma) so the kernels compose with shard_map's
+    check_vma (per-edge outputs vary exactly like the per-edge inputs)."""
+    vma = getattr(jax.typeof(like), "vma", None)
+    if vma:
+        return jax.ShapeDtypeStruct((rows, ep), dtype, vma=vma)
+    return jax.ShapeDtypeStruct((rows, ep), dtype)
+
 def _huber(chi2, delta: float):
     """Masked-chi^2 Huber weights (reference graph_optimizer.py:106-115)."""
     delta_sq = delta * delta
@@ -192,7 +202,7 @@ def lm_edge_blocks_pallas(
 
     out = pl.pallas_call(
         functools.partial(_lm_kernel, huber_delta),
-        out_shape=jax.ShapeDtypeStruct((_LM_OUT_ROWS, ep), dtype),
+        out_shape=_out_struct(_LM_OUT_ROWS, ep, dtype, inp),
         grid=(ep // _TILE_E,),
         in_specs=[
             pl.BlockSpec(
@@ -299,7 +309,7 @@ def odom_edge_blocks_pallas(
 
     out = pl.pallas_call(
         functools.partial(_odom_kernel, huber_delta),
-        out_shape=jax.ShapeDtypeStruct((_OD_OUT_ROWS, ep), dtype),
+        out_shape=_out_struct(_OD_OUT_ROWS, ep, dtype, inp),
         grid=(ep // _TILE_E,),
         in_specs=[
             pl.BlockSpec(
@@ -322,4 +332,162 @@ def odom_edge_blocks_pallas(
         wr=out[9:12].T,
         robust_err=out[12],
         chi2=out[13],
+    )
+
+
+# ---------------------------------------------------------------------------
+# SE(3) reprojection edges (the 6/3-dof analogue of the landmark kernel;
+# CUDA reference being replaced: KernelSe2Point2.cu:46-155).  Small-matrix
+# algebra is expressed over Python lists of [1, TILE] channel rows — every
+# entry is one VPU vector op, unrolled at trace time.
+#
+# Input channels  [32, E] (26 used):
+#   0-8   R row-major          9-11  t             12-14 landmark X
+#   15-16 meas (u, v)          17-20 info 2x2      21    mask
+#   22-25 intrinsics (fx, fy, cx, cy) broadcast
+# Output channels [80, E] (74 used):
+#   0-35  w_ata (6x6)          36-44 w_btb (3x3)   45-62 w_hpl (6x3)
+#   63-68 bp_c (6)             69-71 bl_c (3)      72 robust_err  73 chi2
+# ---------------------------------------------------------------------------
+
+_RP_IN_ROWS = 32
+_RP_OUT_ROWS = 80
+
+
+def _matmul_rows(A, B):
+    """[n x k] @ [k x m] over lists of [1, TILE] rows."""
+    n, k, m = len(A), len(B), len(B[0])
+    return [
+        [sum(A[i][p] * B[p][j] for p in range(k)) for j in range(m)]
+        for i in range(n)
+    ]
+
+
+def _reproj_kernel(huber_delta: float, inp, out):
+    R = [[_row(inp, 3 * i + j) for j in range(3)] for i in range(3)]
+    t = [_row(inp, 9 + k) for k in range(3)]
+    X = [_row(inp, 12 + k) for k in range(3)]
+    m0, m1 = _row(inp, 15), _row(inp, 16)
+    i00, i01 = _row(inp, 17), _row(inp, 18)
+    i10, i11 = _row(inp, 19), _row(inp, 20)
+    mask = _row(inp, 21)
+    fx, fy = _row(inp, 22), _row(inp, 23)
+    cx, cy = _row(inp, 24), _row(inp, 25)
+
+    # x_c = R^T (X - t)   (residuals3d.eval_reproj_edges)
+    dx = [X[k] - t[k] for k in range(3)]
+    xc = [sum(R[j][i] * dx[j] for j in range(3)) for i in range(3)]
+    z = jnp.maximum(xc[2], 1e-6)
+    inv_z = 1.0 / z
+    r0 = fx * xc[0] * inv_z + cx - m0
+    r1 = fy * xc[1] * inv_z + cy - m1
+
+    zero = jnp.zeros_like(z)
+    # J_proj [2x3]
+    jp = [
+        [fx * inv_z, zero, -fx * xc[0] * inv_z * inv_z],
+        [zero, fy * inv_z, -fy * xc[1] * inv_z * inv_z],
+    ]
+    # d x_c/d dt = -R^T;  d x_c/d omega = [x_c]_x;  d x_c/d X = R^T
+    neg_rt = [[-R[j][i] for j in range(3)] for i in range(3)]
+    hat = [
+        [zero, -xc[2], xc[1]],
+        [xc[2], zero, -xc[0]],
+        [-xc[1], xc[0], zero],
+    ]
+    rt = [[R[j][i] for j in range(3)] for i in range(3)]
+    ja_l = _matmul_rows(jp, neg_rt)           # [2x3]
+    ja_r = _matmul_rows(jp, hat)              # [2x3]
+    JA = [ja_l[0] + ja_r[0], ja_l[1] + ja_r[1]]   # [2x6]
+    JB = _matmul_rows(jp, rt)                 # [2x3]
+
+    chi2 = (
+        r0 * (i00 * r0 + i01 * r1) + r1 * (i10 * r0 + i11 * r1)
+    ) * mask
+    robust, w = _huber(chi2, huber_delta)
+    wq = w * mask
+    W = [[wq * i00, wq * i01], [wq * i10, wq * i11]]
+
+    tA = _matmul_rows(W, JA)                  # [2x6] = W' JA
+    uB = _matmul_rows(W, JB)                  # [2x3] = W' JB
+    wr = [W[0][0] * r0 + W[0][1] * r1, W[1][0] * r0 + W[1][1] * r1]
+
+    k = 0
+    for a in range(6):                        # w_ata = JA^T tA (6x6)
+        for b in range(6):
+            out[k : k + 1, :] = JA[0][a] * tA[0][b] + JA[1][a] * tA[1][b]
+            k += 1
+    for a in range(3):                        # w_btb = JB^T uB (3x3)
+        for b in range(3):
+            out[k : k + 1, :] = JB[0][a] * uB[0][b] + JB[1][a] * uB[1][b]
+            k += 1
+    for a in range(6):                        # w_hpl = JA^T uB (6x3)
+        for b in range(3):
+            out[k : k + 1, :] = JA[0][a] * uB[0][b] + JA[1][a] * uB[1][b]
+            k += 1
+    for a in range(6):                        # bp_c = JA^T wr (6)
+        out[k : k + 1, :] = JA[0][a] * wr[0] + JA[1][a] * wr[1]
+        k += 1
+    for a in range(3):                        # bl_c = JB^T wr (3)
+        out[k : k + 1, :] = JB[0][a] * wr[0] + JB[1][a] * wr[1]
+        k += 1
+    out[72:73, :] = robust * mask
+    out[73:74, :] = chi2
+    out[74:80, :] = jnp.zeros_like(out[74:80, :])
+
+
+@functools.partial(jax.jit, static_argnames=("huber_delta",))
+def reproj_edge_blocks_pallas(
+    poses, landmarks, intrinsics, pose_idx, lm_idx, meas, info, mask,
+    huber_delta: float,
+):
+    from toyslam_tpu.ops import edge_blocks3d as eb3
+
+    e = pose_idx.shape[0]
+    dtype = poses.dtype
+    p = poses[pose_idx]              # [E,12] (XLA gather)
+    lm = landmarks[lm_idx]           # [E,3]
+    intr = jnp.broadcast_to(intrinsics[:, None], (4, e)).astype(dtype)
+    inp = jnp.concatenate(
+        [
+            p.T,
+            lm.T,
+            meas.T,
+            info.reshape(e, 4).T,
+            mask[None, :],
+            intr,
+            jnp.zeros((_RP_IN_ROWS - 26, e), dtype),
+        ],
+        axis=0,
+    )
+    (inp,), ep = _pad_edges([inp], e)
+
+    out = pl.pallas_call(
+        functools.partial(_reproj_kernel, huber_delta),
+        out_shape=_out_struct(_RP_OUT_ROWS, ep, dtype, inp),
+        grid=(ep // _TILE_E,),
+        in_specs=[
+            pl.BlockSpec(
+                (_RP_IN_ROWS, _TILE_E),
+                lambda i: (0, i),
+                memory_space=pltpu.VMEM,
+            )
+        ],
+        out_specs=pl.BlockSpec(
+            (_RP_OUT_ROWS, _TILE_E),
+            lambda i: (0, i),
+            memory_space=pltpu.VMEM,
+        ),
+        interpret=_interpret(),
+    )(inp)
+
+    out = out[:, :e]
+    return eb3.ReprojBlocks(
+        w_ata=out[0:36].T.reshape(e, 6, 6),
+        w_btb=out[36:45].T.reshape(e, 3, 3),
+        w_hpl=out[45:63].T.reshape(e, 6, 3),
+        bp_c=out[63:69].T,
+        bl_c=out[69:72].T,
+        robust_err=out[72],
+        chi2=out[73],
     )

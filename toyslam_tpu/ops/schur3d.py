@@ -21,6 +21,7 @@ import jax.numpy as jnp
 from toyslam_tpu.config import OptimizerConfig
 from toyslam_tpu.models.graph3d import FactorGraph3D
 from toyslam_tpu.ops import blockmath as bm
+from toyslam_tpu.ops import edge_blocks3d as eb3
 from toyslam_tpu.ops import residuals3d as res3
 from toyslam_tpu.ops import schur
 from toyslam_tpu.ops.schur import BlockSystem, _maybe_psum, _vertex_sum
@@ -32,8 +33,14 @@ def assemble_blocks_3d(
     fixed_prior: float = 1e6,
     exact_odom_jacobians: bool = False,
     axis_name: str | None = None,
+    edge_backend: str = "xla",
 ) -> BlockSystem:
-    """Sparse 6/3 block system for the SE(3) BA problem."""
+    """Sparse 6/3 block system for the SE(3) BA problem.
+
+    ``edge_backend`` selects the reprojection-edge linearization: "xla"
+    (batched formulas, the oracle) or "pallas" (fused component-major TPU
+    kernel, ops/pallas_edges.py::reproj_edge_blocks_pallas).
+    """
     n, m = graph.num_poses, graph.num_landmarks
 
     od = res3.eval_odom3d_edges(
@@ -46,7 +53,7 @@ def assemble_blocks_3d(
         huber_delta,
         exact=exact_odom_jacobians,
     )
-    rp = res3.eval_reproj_edges(
+    rb = eb3.reproj_edge_blocks(
         graph.poses,
         graph.landmarks,
         graph.intrinsics,
@@ -56,10 +63,10 @@ def assemble_blocks_3d(
         graph.lm_edges.info,
         graph.lm_edges.mask,
         huber_delta,
+        backend=edge_backend,
     )
 
     w_od = od.w[:, None, None] * graph.odom.info        # [E1,6,6]
-    w_rp = rp.w[:, None, None] * graph.lm_edges.info    # [E2,2,2]
 
     plan = graph.plan
     t_oi = plan.odom_by_i if plan is not None else None
@@ -79,17 +86,13 @@ def assemble_blocks_3d(
     hpp_off = atb
 
     # --- reprojection contributions ------------------------------------
-    wjb = bm.mm(w_rp, rp.JB)                            # [E2,2,3]
-    wr2 = bm.mv(w_rp, rp.r)                             # [E2,2]
     hpp_diag = hpp_diag + _vertex_sum(
-        bm.quad(rp.JA, w_rp), graph.lm_edges.pose, n, t_lp
+        rb.w_ata, graph.lm_edges.pose, n, t_lp
     )
-    hll = _vertex_sum(bm.mtm(rp.JB, wjb), graph.lm_edges.lm, m, t_ll)
-    hpl = bm.mtm(rp.JA, wjb)                            # [E2,6,3]
-    bp = bp + _vertex_sum(
-        bm.mtv(rp.JA, wr2), graph.lm_edges.pose, n, t_lp
-    )
-    bl = _vertex_sum(bm.mtv(rp.JB, wr2), graph.lm_edges.lm, m, t_ll)
+    hll = _vertex_sum(rb.w_btb, graph.lm_edges.lm, m, t_ll)
+    hpl = rb.w_hpl                                      # [E2,6,3]
+    bp = bp + _vertex_sum(rb.bp_c, graph.lm_edges.pose, n, t_lp)
+    bl = _vertex_sum(rb.bl_c, graph.lm_edges.lm, m, t_ll)
 
     hpp_diag = _maybe_psum(hpp_diag, axis_name)
     hll = _maybe_psum(hll, axis_name)
@@ -107,7 +110,7 @@ def assemble_blocks_3d(
     bl = bl * (1.0 - graph.lm_fixed)[:, None]
 
     err = _maybe_psum(
-        jnp.sum(od.robust_err) + jnp.sum(rp.robust_err), axis_name
+        jnp.sum(od.robust_err) + jnp.sum(rb.robust_err), axis_name
     )
     return BlockSystem(
         hpp_diag=hpp_diag, hpp_off=hpp_off, hll=hll, hpl=hpl,
@@ -157,6 +160,7 @@ def schur3d_linearize_solve(cfg: OptimizerConfig, axis_name: str | None = None):
             fixed_prior=cfg.fixed_prior,
             exact_odom_jacobians=cfg.exact_odom_jacobians,
             axis_name=axis_name,
+            edge_backend=cfg.edge_backend,
         )
         dx_p, dx_l, stats = schur.schur_solve(
             sys, graph, lam, cfg.pcg_tol, cfg.pcg_max_iters, axis_name,

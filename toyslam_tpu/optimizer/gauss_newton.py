@@ -96,6 +96,10 @@ class _LoopState(NamedTuple):
     pcg_iters: jax.Array
     pcg_residuals: jax.Array
     lambdas: jax.Array
+    # opaque solver carry for stateful LinearizeSolves (e.g. the frozen/
+    # periodically-refreshed PCG preconditioner, config.pcg_precond_refresh);
+    # () for plain solves
+    sstate: object = ()
 
 
 @dataclasses.dataclass(frozen=True)
@@ -213,12 +217,18 @@ def _run(
     def cond(s: _LoopState):
         return (s.it < cfg.iterations) & ~s.converged & ~s.diverged
 
+    stateful = getattr(solve, "stateful", False)
+
     def body(s: _LoopState):
         g = graph.with_state(s.poses, s.landmarks)
         # lambda update decision uses the *previous* iteration's error
         # (graph_optimizer.py:42); first iteration leaves lambda alone only
         # via the prev_err < 0 guard.
-        dx_p, dx_l, err, stats = solve(g, s.lam)
+        if stateful:
+            dx_p, dx_l, err, stats, sstate = solve(g, s.lam, s.sstate)
+        else:
+            dx_p, dx_l, err, stats = solve(g, s.lam)
+            sstate = s.sstate
 
         step_p = dx_p * cfg.lr
         step_l = dx_l * cfg.lr
@@ -257,6 +267,7 @@ def _run(
                 pcg_iters=pcg_iters,
                 pcg_residuals=pcg_residuals,
                 lambdas=lambdas,
+                sstate=sstate,
             )
 
         have_prev = s.prev_err >= 0.0
@@ -294,6 +305,7 @@ def _run(
             pcg_iters=pcg_iters,
             pcg_residuals=pcg_residuals,
             lambdas=lambdas,
+            sstate=sstate,
         )
 
     init = _LoopState(
@@ -309,6 +321,7 @@ def _run(
         pcg_iters=jnp.zeros((cfg.iterations,), jnp.int32),
         pcg_residuals=jnp.full((cfg.iterations,), jnp.nan, dtype),
         lambdas=jnp.full((cfg.iterations,), jnp.nan, dtype),
+        sstate=solve.init_state(graph) if stateful else (),
     )
     final = jax.lax.while_loop(cond, body, init)
     return OptimizeResult(

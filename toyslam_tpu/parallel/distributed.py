@@ -89,6 +89,11 @@ def distributed_linearize_solve(
         mesh=mesh,
         in_specs=(specs, P()),
         out_specs=_OUT_SPECS,
+        # Pallas kernels under shard_map trip the vma checker (internal
+        # constants are unvarying; jax suggests check_vma=False as the
+        # workaround).  Equivalence with the single-device solve is
+        # enforced numerically in tests/test_distributed.py instead.
+        check_vma=cfg.edge_backend != "pallas",
     )
 
     n_dev = mesh.shape[axis]
