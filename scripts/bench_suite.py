@@ -1,11 +1,24 @@
 """Full benchmark suite over BASELINE.json's workload configs.
 
-Prints one JSON line per config.  bench.py remains the single-line headline
-benchmark; this suite covers the scale-up matrix:
+Prints one JSON line per config and writes the combined matrix to
+``BENCH_SUITE.json`` at the repo root (the recorded perf artifact).
+bench.py remains the single-line headline benchmark; this suite covers the
+scale-up matrix:
 
   0. reference workload  — 150 poses   (parity vs BASELINE_MEASURED.json)
   1. multi-loop closures — ~1k poses
-  2. large sparse        — ~10k poses / ~10k landmarks (Schur + PCG)
+  2. large sparse        — ~10k poses / ~10k landmarks (Schur + PCG,
+     truncated-Newton budget tuned on TPU: see scripts/exp_budget10k.py)
+
+Timing is fetch-fenced (scripts/tputime.py): ``jax.block_until_ready``
+does NOT block through the remote-TPU tunnel, so timings that relied on it
+(round-1 artifacts) measured enqueue cost, not device time.
+
+For the large config the output also carries a roofline/speed-of-light
+estimate: a FLOP and HBM-byte model of one GN iteration, achieved GFLOP/s
+and GB/s, and the fraction of the v5e peaks — the honest accounting the
+north star asks for (the workload is latency-bound: ~40 small [10k,3]-sized
+ops per PCG iteration, each touching ~0.1-10 MB).
 """
 
 import json
@@ -13,6 +26,7 @@ import os
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 import jax
@@ -22,18 +36,37 @@ from toyslam_tpu.config import OptimizerConfig, SimConfig, SlamConfig
 from toyslam_tpu.optimizer import GaussNewton
 from toyslam_tpu.sim import frontend, synthetic
 
+# v5e single-chip peaks (public: jax-ml.github.io/scaling-book): HBM BW
+# ~819 GB/s; VPU f32 ~ (8, 128) x 4 ALUs x ~0.94 GHz x 2 ~ 7.5 TFLOP/s
+# upper bound (elementwise FMA); we quote the HBM bound as the relevant
+# ceiling — this op mix never feeds the MXU.
+V5E_HBM_GBPS = 819.0
+V5E_VPU_TFLOPS = 7.5
 
-def bench_one(name, graph, gt, opt_cfg, n_real, reps=5):
+
+def _fetch(x):
+    return np.asarray(x)
+
+
+def bench_one(name, graph, gt, opt_cfg, n_real, reps=5, rounds=3,
+              flops_per_iter=None, bytes_per_iter=None):
     gn = GaussNewton(opt_cfg)
-    r = gn.optimize(graph)
-    jax.block_until_ready(r.graph.poses)
-    # pipelined: enqueue all reps, block once (amortizes dispatch RTT)
-    t0 = time.perf_counter()
-    rs = [gn.optimize(graph) for _ in range(reps)]
-    jax.block_until_ready(rs)
-    best = (time.perf_counter() - t0) / reps
+    g = jax.device_put(gn._prepare(graph))
+    r = gn.optimize(g)
+    est = _fetch(r.graph.poses)[:n_real]  # fetch = fence + warmup
     iters = int(r.iterations_run)
-    est = np.asarray(r.graph.poses)[:n_real]
+
+    best = float("inf")
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            r = gn.optimize(g)
+        _fetch(r.graph.poses)
+        best = min(best, (time.perf_counter() - t0) / reps)
+    est = _fetch(r.graph.poses)[:n_real]
+
+    errs = np.asarray(r.errors)
+    valid = errs[~np.isnan(errs)]
     out = {
         "config": name,
         "poses": n_real,
@@ -46,31 +79,80 @@ def bench_one(name, graph, gt, opt_cfg, n_real, reps=5):
         "ate_dead_reckoning": round(
             frontend.ate_rmse(np.asarray(graph.poses)[:n_real], gt), 4
         ),
+        "chi2_first": round(float(valid[0]), 1) if valid.size else None,
+        "chi2_last": round(float(valid[-1]), 1) if valid.size else None,
+        "pcg_iters": np.asarray(r.pcg_iters)[:iters].tolist(),
+        "edge_backend": opt_cfg.edge_backend,
         "platform": jax.devices()[0].platform,
     }
-    print(json.dumps(out))
+    if flops_per_iter:
+        t_iter = best / iters
+        out["flops_per_gn_iter_model"] = int(flops_per_iter)
+        out["achieved_gflops"] = round(flops_per_iter / t_iter / 1e9, 2)
+        out["vpu_peak_fraction"] = round(
+            flops_per_iter / t_iter / (V5E_VPU_TFLOPS * 1e12), 5
+        )
+    if bytes_per_iter:
+        t_iter = best / iters
+        out["hbm_bytes_per_gn_iter_model"] = int(bytes_per_iter)
+        out["achieved_gbps"] = round(bytes_per_iter / t_iter / 1e9, 2)
+        out["hbm_peak_fraction"] = round(
+            bytes_per_iter / t_iter / (V5E_HBM_GBPS * 1e9), 4
+        )
+    print(json.dumps(out), flush=True)
     return out
 
 
+def _flop_byte_model_10k(n, m, e1, e2, pcg_iters, levels=14, nc=320):
+    """Rough per-GN-iteration FLOP / HBM-byte model for the Schur path.
+
+    FLOPs: linearization ~350/edge; per PCG iteration the plan matvec
+    (~48 flops per lm edge twice + block diagonals), the PCR tridiag apply
+    (levels x 2 block-matvecs over N), the coarse solve (2 (3 nc)^2) and
+    ~6 axpy/dot passes.  Bytes: every PCG iteration re-reads the dual-layout
+    grids (~4.5 MB), the PCR factors (2 levels x N x 9 f32) and the coarse
+    factor.  Latency, not these, is the measured bound — the model gives
+    the speed-of-light distance.
+    """
+    lin = 350 * (e1 + e2)
+    matvec = 48 * 2 * e2 + 8 * m + 18 * n + 36 * e1
+    tri = levels * 40 * n
+    coarse = 2 * (3 * nc) ** 2
+    axpy = 8 * 3 * n
+    flops = lin + pcg_iters * (matvec + tri + coarse + axpy)
+
+    grids = (e2 * 6 * 2 + n * 9 + m * 4 + e1 * 9 * 2) * 4
+    pcr = (2 * levels + 1) * n * 9 * 4
+    coarse_b = (3 * nc) ** 2 * 4
+    state = 6 * n * 3 * 4
+    bytes_ = (e1 + e2) * 30 * 4 + pcg_iters * (
+        grids + pcr + coarse_b + state
+    )
+    return flops, bytes_
+
+
 def main():
+    results = []
+
     # 0. reference workload (parity config: reference-equivalent settings)
     cfg = SlamConfig(sim=SimConfig(robot_steps=150, seed=0))
     sim = frontend.simulate(cfg.sim)
     graph, _ = frontend.build_graph(sim, cfg)
-    bench_one(
+    results.append(bench_one(
         "reference-150",
         graph,
         sim.poses_gt,
         OptimizerConfig(iterations=10, lr=0.2, solver="schur"),
         150,
-    )
+        reps=20,
+    ))
 
     # 1. multi-loop ~1k poses with loop closures
     cfg = SlamConfig(sim=SimConfig(robot_steps=1050, seed=0))
     controls = synthetic.multi_loop_controls(1049, loop_steps=150)
     sim = frontend.simulate(cfg.sim, controls=controls)
     graph, _ = frontend.build_graph(sim, cfg)
-    bench_one(
+    results.append(bench_one(
         "multi-loop-1k",
         graph,
         sim.poses_gt,
@@ -79,22 +161,51 @@ def main():
             exact_odom_jacobians=True, pcg_max_iters=300,
         ),
         1050,
-    )
+        reps=10,
+    ))
 
-    # 2. large sparse ~10k x ~10k
+    # 2. large sparse ~10k x ~10k — truncated-Newton budget tuned on TPU
+    # (exp_budget10k.py): chi2_last 6650 == the fully-converged value, well
+    # below chi2(ground truth) = 7937 (the workload is drift-limited, so
+    # GT-chi2 is the quality gate, not ATE).
     graph, poses_gt, _ = synthetic.make_large_problem(
         num_poses=10_000, num_landmarks=10_000, obs_per_pose=6, seed=0,
     )
-    bench_one(
+    opt = OptimizerConfig(
+        iterations=15, lr=1.0, solver="schur",
+        exact_odom_jacobians=True, pcg_tol=1e-2,
+        pcg_max_iters=15, pcg_restart_every=15,
+        pcg_precond="tridiag+coarse", pcg_coarse_group=32,
+        pcg_precond_refresh=5,
+    )
+    n, m = graph.num_poses, graph.num_landmarks
+    flops, bytes_ = _flop_byte_model_10k(
+        n, m, graph.odom.count, graph.lm_edges.count,
+        pcg_iters=opt.pcg_max_iters, nc=n // opt.pcg_coarse_group,
+    )
+    results.append(bench_one(
         "large-sparse-10k",
         graph,
         poses_gt,
-        OptimizerConfig(
-            iterations=15, lr=1.0, solver="schur",
-            exact_odom_jacobians=True, pcg_tol=1e-6, pcg_max_iters=300,
-        ),
+        opt,
         10_000,
+        reps=3,
+        flops_per_iter=flops,
+        bytes_per_iter=bytes_,
+    ))
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", "BENCH_SUITE.json"
     )
+    with open(path, "w") as f:
+        json.dump({
+            "measured_at": time.strftime("%Y-%m-%d %H:%M:%S"),
+            "device": str(jax.devices()[0]),
+            "note": "fetch-fenced timing (scripts/tputime.py); "
+                    "best-of-rounds per config",
+            "configs": results,
+        }, f, indent=2)
+    print(f"wrote {os.path.abspath(path)}")
 
 
 if __name__ == "__main__":

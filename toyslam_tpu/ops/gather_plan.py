@@ -48,7 +48,8 @@ class GatherPlan:
 
 
 def _build_table(
-    vertex_ids: np.ndarray, mask: np.ndarray, num_vertices: int, pad_to: int = 1
+    vertex_ids: np.ndarray, mask: np.ndarray, num_vertices: int,
+    pad_to: int = 1, k_override: int | None = None,
 ) -> VertexTable:
     ids = vertex_ids[mask > 0]
     edge_idx = np.nonzero(mask > 0)[0]
@@ -59,6 +60,9 @@ def _build_table(
     # (the old pad_to=8) multiplied the dominant PCG matvec cost — for the
     # odometry chain (true K=1) by 8x.
     k = max(pad_to, -(-k // pad_to) * pad_to, 1)
+    if k_override is not None:
+        assert k_override >= k, (k_override, k)
+        k = k_override
     tbl = np.zeros((num_vertices, k), np.int32)
     msk = np.zeros((num_vertices, k), np.float32)
     # vectorized slot assignment: edges sorted by vertex id keep their
@@ -93,6 +97,68 @@ def build_gather_plan(graph: FactorGraph2D) -> GatherPlan:
 def attach_plan(graph: FactorGraph2D) -> FactorGraph2D:
     """Graph with gather tables attached (host-side, once per structure)."""
     return dataclasses.replace(graph, plan=build_gather_plan(graph))
+
+
+def _build_sharded_table(
+    vertex_ids: np.ndarray, mask: np.ndarray, num_vertices: int, n_dev: int
+) -> VertexTable:
+    """Per-shard tables, stacked on a leading device axis ``[D, V, K]``.
+
+    Edges are sharded into ``n_dev`` contiguous chunks (jax shards axis 0
+    of a ``P(axis)``-annotated array exactly so); shard ``d``'s table lists
+    the *local* indices of its chunk's edges per vertex.  ``K`` is the max
+    incident count over all shards so the stacked pytree is rectangular.
+    """
+    e = vertex_ids.shape[0]
+    assert e % n_dev == 0, (e, n_dev)
+    chunk = e // n_dev
+    ks = []
+    for d in range(n_dev):
+        sl = slice(d * chunk, (d + 1) * chunk)
+        ids = vertex_ids[sl][mask[sl] > 0]
+        counts = np.bincount(ids, minlength=num_vertices)
+        ks.append(int(counts.max()) if counts.size else 0)
+    k = max(max(ks), 1)
+    tables = [
+        _build_table(
+            vertex_ids[d * chunk : (d + 1) * chunk],
+            mask[d * chunk : (d + 1) * chunk],
+            num_vertices,
+            k_override=k,
+        )
+        for d in range(n_dev)
+    ]
+    return VertexTable(
+        idx=np.stack([np.asarray(t.idx) for t in tables]),
+        mask=np.stack([np.asarray(t.mask) for t in tables]),
+    )
+
+
+def build_sharded_plan(graph: FactorGraph2D, n_dev: int) -> GatherPlan:
+    """Gather plan for an edge-sharded graph: tables carry a leading device
+    axis ``[D, V, K]`` sharded with the edges, so each device's shard_map
+    block sees its own local tables (squeeze the leading axis inside).
+
+    This is what lets the scatter-free reductions AND the dual-layout
+    PlanOperator serve the distributed path (round-1 fell back to
+    segment_sum under shard_map)."""
+    n, m = graph.num_poses, graph.num_landmarks
+    return GatherPlan(
+        lm_by_pose=_build_sharded_table(
+            np.asarray(graph.lm_edges.pose), np.asarray(graph.lm_edges.mask),
+            n, n_dev,
+        ),
+        lm_by_lm=_build_sharded_table(
+            np.asarray(graph.lm_edges.lm), np.asarray(graph.lm_edges.mask),
+            m, n_dev,
+        ),
+        odom_by_i=_build_sharded_table(
+            np.asarray(graph.odom.i), np.asarray(graph.odom.mask), n, n_dev,
+        ),
+        odom_by_j=_build_sharded_table(
+            np.asarray(graph.odom.j), np.asarray(graph.odom.mask), n, n_dev,
+        ),
+    )
 
 
 def table_sum(values: jax.Array, table: VertexTable) -> jax.Array:

@@ -394,26 +394,39 @@ def make_plan_operator(
     )
 
 
-def plan_matvec(op: PlanOperator, x: jax.Array) -> jax.Array:
-    """``S @ x`` on the dual layout: dense grids + small state gathers."""
+def plan_matvec(
+    op: PlanOperator, x: jax.Array, axis_name: str | None = None
+) -> jax.Array:
+    """``S @ x`` on the dual layout: dense grids + small state gathers.
+
+    With ``axis_name`` set the grids hold each device's edge shard (built
+    from per-shard gather tables, ops/gather_plan.py build_sharded_plan):
+    the landmark intermediate ``u`` and the pose-space edge partials reduce
+    across the mesh — two small psums ([M,dl] + [N,dp]) per matvec, riding
+    ICI.  ``hpp_diag``/``hll_inv`` are replicated-complete, so their terms
+    stay outside the reductions.
+    """
     u = jnp.sum(bm.mtv(op.hpl_L, x[op.pose_L]), axis=1)
+    u = _maybe_psum(u, axis_name)
     v = bm.mv(op.hll_inv, u)
     w = jnp.sum(bm.mv(op.hpl_P, v[op.lm_P]), axis=1)
-    hp = (
-        bm.mv(op.hpp_diag, x)
-        + jnp.sum(bm.mv(op.off_I, x[op.j_I]), axis=1)
+    off = (
+        jnp.sum(bm.mv(op.off_I, x[op.j_I]), axis=1)
         + jnp.sum(bm.mtv(op.off_J, x[op.i_J]), axis=1)
     )
-    return hp - w
+    return bm.mv(op.hpp_diag, x) + _maybe_psum(off - w, axis_name)
 
 
-def plan_s_diag(op: PlanOperator) -> jax.Array:
-    """Diagonal blocks of S from the pose-major grid."""
+def plan_s_diag(
+    op: PlanOperator, axis_name: str | None = None
+) -> jax.Array:
+    """Diagonal blocks of S from the pose-major grid (edge contributions
+    psum across the mesh when sharded)."""
     hi = op.hll_inv[op.lm_P]
     contrib = jnp.sum(
         bm.mm(bm.mm(op.hpl_P, hi), jnp.swapaxes(op.hpl_P, -1, -2)), axis=1
     )
-    return op.hpp_diag - contrib
+    return op.hpp_diag - _maybe_psum(contrib, axis_name)
 
 
 def plan_preconditioner(op: PlanOperator) -> jax.Array:
@@ -747,11 +760,16 @@ def _matvec_and_sdiag(d: BlockSystem, hll_inv, graph, axis_name):
     """The S-operator at the current (damped) linearization, plus a thunk
     for the exact diagonal blocks of S (only the preconditioner build needs
     them — the freeze path skips the computation entirely).  Dual-layout
-    when the graph carries a plan."""
-    if graph.plan is not None and axis_name is None:
+    when the graph carries a plan — including under shard_map, where the
+    plan holds per-shard tables (gather_plan.build_sharded_plan) and the
+    matvec psums its edge partials."""
+    if graph.plan is not None:
         # dual-layout operator: no per-edge gathers inside the PCG loop
         op = make_plan_operator(d, hll_inv, graph)
-        return (lambda x: plan_matvec(op, x)), (lambda: plan_s_diag(op))
+        return (
+            lambda x: plan_matvec(op, x, axis_name),
+            lambda: plan_s_diag(op, axis_name),
+        )
     return (
         lambda x: schur_matvec(d, hll_inv, graph, x, axis_name),
         lambda: schur_s_diag(d, hll_inv, graph, axis_name),

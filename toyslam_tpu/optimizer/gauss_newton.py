@@ -172,7 +172,11 @@ class GaussNewton:
         # The single-device Schur paths want the scatter-free gather tables
         # (ops/gather_plan.py — structure-generic, works for 2D and 3D
         # graphs); build them host-side once per graph.  A custom solve
-        # (e.g. the distributed one) manages its own layout.
+        # may expose ``prepare`` for its own layout (e.g. the distributed
+        # solve pads edges to the mesh and builds per-shard tables).
+        prep = getattr(self.solve, "prepare", None)
+        if prep is not None:
+            return prep(graph)
         if (
             self._builtin_solver
             and self.config.solver in ("schur", "schur3d")

@@ -73,6 +73,19 @@ def graph3d_shard_specs(axis: str = EDGE_AXIS):
     )
 
 
+def _plan_specs(axis: str):
+    """PartitionSpec pytree for a *sharded* GatherPlan (leading device
+    axis on every table, gather_plan.build_sharded_plan)."""
+    from toyslam_tpu.ops.gather_plan import GatherPlan, VertexTable
+
+    t = VertexTable(idx=P(axis), mask=P(axis))
+    return GatherPlan(lm_by_pose=t, lm_by_lm=t, odom_by_i=t, odom_by_j=t)
+
+
+def _is_sharded_plan(plan) -> bool:
+    return plan is not None and plan.lm_by_pose.idx.ndim == 3
+
+
 def distributed_linearize_solve(
     cfg: OptimizerConfig, mesh: Mesh, axis: str = EDGE_AXIS
 ):
@@ -80,32 +93,68 @@ def distributed_linearize_solve(
 
     Plugs into ``GaussNewton(config, solve=...)`` unchanged — the outer
     damping/convergence loop is oblivious to the distribution.
+
+    Exposes ``prepare(graph)`` (called by GaussNewton._prepare, host-side,
+    once per graph structure): pads the edge arrays to the mesh and
+    attaches *per-shard* gather tables (gather_plan.build_sharded_plan),
+    so the scatter-free reductions and the dual-layout PlanOperator serve
+    the distributed PCG loop exactly as they do single-device (round 1
+    fell back to segment_sum under shard_map).
     """
     inner = schur.schur_linearize_solve(cfg, axis_name=axis)
-    specs = graph_shard_specs(axis)
+    n_dev = mesh.shape[axis]
+    # Pallas kernels under shard_map trip the vma checker (internal
+    # constants are unvarying; jax suggests check_vma=False as the
+    # workaround).  Equivalence with the single-device solve is
+    # enforced numerically in tests/test_distributed.py instead.
+    check_vma = cfg.edge_backend != "pallas"
 
-    sharded = shard_map(
+    sharded_noplan = shard_map(
         inner,
         mesh=mesh,
-        in_specs=(specs, P()),
+        in_specs=(graph_shard_specs(axis), P()),
         out_specs=_OUT_SPECS,
-        # Pallas kernels under shard_map trip the vma checker (internal
-        # constants are unvarying; jax suggests check_vma=False as the
-        # workaround).  Equivalence with the single-device solve is
-        # enforced numerically in tests/test_distributed.py instead.
-        check_vma=cfg.edge_backend != "pallas",
+        check_vma=check_vma,
     )
 
-    n_dev = mesh.shape[axis]
+    def inner_local_plan(graph: FactorGraph2D, lam: jax.Array):
+        # each device's block sees its own [1, V, K] table shard
+        plan = jax.tree.map(lambda a: a[0], graph.plan)
+        return inner(dataclasses.replace(graph, plan=plan), lam)
+
+    specs_plan = dataclasses.replace(
+        graph_shard_specs(axis), plan=_plan_specs(axis)
+    )
+    sharded_plan = shard_map(
+        inner_local_plan,
+        mesh=mesh,
+        in_specs=(specs_plan, P()),
+        out_specs=_OUT_SPECS,
+        check_vma=check_vma,
+    )
+
+    def prepare(graph: FactorGraph2D) -> FactorGraph2D:
+        from toyslam_tpu.ops.gather_plan import build_sharded_plan
+
+        if _is_sharded_plan(graph.plan):
+            return graph
+        graph = dataclasses.replace(graph, plan=None)
+        graph = pad_edges_for_mesh(graph, n_dev)
+        return dataclasses.replace(
+            graph, plan=build_sharded_plan(graph, n_dev)
+        )
 
     def solve(graph: FactorGraph2D, lam: jax.Array):
+        if _is_sharded_plan(graph.plan):
+            return sharded_plan(graph, lam)
         if graph.plan is not None:
-            # gather tables index the *global* edge arrays; under shard_map
-            # each device sees only its shard, so fall back to segment_sum
+            # single-device tables index the global edge arrays — unusable
+            # under shard_map; fall back to segment_sum
             graph = dataclasses.replace(graph, plan=None)
         graph = pad_edges_for_mesh(graph, n_dev)
-        return sharded(graph, lam)
+        return sharded_noplan(graph, lam)
 
+    solve.prepare = prepare
     return solve
 
 
