@@ -22,7 +22,7 @@ from toyslam_tpu.optimizer import GaussNewton
 from toyslam_tpu.sim import frontend, synthetic
 
 
-def bench(name, graph, opt_cfg, reps=10, rounds=3):
+def bench(name, graph, opt_cfg, reps=10, rounds=2):
     gn = GaussNewton(opt_cfg)
     g = jax.device_put(gn._prepare(graph))
     r = gn.optimize(g)
@@ -63,7 +63,7 @@ def main():
             OptimizerConfig(
                 iterations=10, lr=0.2, solver="schur", edge_backend=backend
             ),
-            reps=30,
+            reps=15,
         ))
         # tuned 10k config (scripts/exp_budget10k.py); the pallas kernels
         # only accelerate the per-linearization edge pass, so the PCG-heavy
@@ -79,7 +79,7 @@ def main():
                 pcg_precond_refresh=5,
                 edge_backend=backend,
             ),
-            reps=3,
+            reps=2,
         ))
 
     path = os.path.join(

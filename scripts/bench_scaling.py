@@ -4,12 +4,15 @@ Measures wall time of the identical edge-sharded Gauss-Newton workload at
 1..N devices and reports scaling efficiency  eff(D) = T(1) / (D * T(D)).
 
 On this container only a virtual CPU mesh is available
-(``--xla_force_host_platform_device_count``), where all "devices" share two
-host cores — the numbers validate that the collective schedule does not
-*serialize* (wall time must stay roughly flat as D grows on shared cores,
-since per-device work shrinks 1/D) and exercise the exact code that runs on
-a real slice; true efficiency targets (>=0.8 at 2+ hosts, BASELINE.json)
-need real chips, and this rig is what the driver runs there.  Writes
+(``--xla_force_host_platform_device_count``), where every "device" is a
+thread on two shared host cores, so wall time measures TOTAL work summed
+over fake devices: the sharded linearization stays constant as D grows
+(work/device shrinks 1/D) while the replicated part (PCG state updates +
+preconditioner apply, by design identical on every device — free on real
+parallel chips) multiplies by D.  The fake-mesh curve therefore bounds the
+replicated fraction and validates the collective schedule end-to-end; true
+efficiency targets (>=0.8 at 2+ hosts, BASELINE.json) need real chips, and
+this rig — unchanged — is what measures them there.  Writes
 ``SCALING.json``.
 
 Usage:
@@ -47,6 +50,12 @@ def main():
         )
 
     import jax
+
+    if not os.environ.get("TOYSLAM_REAL_DEVICES"):
+        # the container's sitecustomize force-registers the remote TPU and
+        # overrides JAX_PLATFORMS; the config update (pre-backend-init) is
+        # what actually pins CPU (same trick as tests/conftest.py)
+        jax.config.update("jax_platforms", "cpu")
     import numpy as np
 
     from toyslam_tpu.config import OptimizerConfig
@@ -103,9 +112,11 @@ def main():
         "platform": jax.devices()[0].platform,
         "real_devices": bool(os.environ.get("TOYSLAM_REAL_DEVICES")),
         "note": (
-            "virtual CPU mesh: all devices share host cores, so wall time "
-            "staying flat while per-device work shrinks 1/D validates the "
-            "collective schedule; real-chip efficiency needs a real slice"
+            "virtual CPU mesh on shared host cores: wall = TOTAL work over "
+            "fake devices (sharded part constant, replicated PCG/precond "
+            "part x D — free on real parallel chips), so the growth bounds "
+            "the replicated fraction and validates the collective schedule; "
+            "real-chip efficiency needs a real slice (same rig)"
             if not os.environ.get("TOYSLAM_REAL_DEVICES")
             else "real devices"
         ),

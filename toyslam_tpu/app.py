@@ -152,10 +152,21 @@ def cmd_run(args) -> int:
         opt_graph, backend = asyncio.run(_go())
         errors = iters = None
     else:
-        res = gn.optimize(graph)
+        if args.profile:
+            # jax.profiler trace of the optimize (view with TensorBoard or
+            # xprof) — the deep-dive companion of the metrics breakdown
+            import jax
+
+            with jax.profiler.trace(args.profile):
+                res = gn.optimize(graph)
+                np.asarray(res.graph.poses)  # fence inside the trace
+        else:
+            res = gn.optimize(graph)
         opt_graph = res.graph
         errors = np.asarray(res.errors)
         iters = int(res.iterations_run)
+        pcg_iters = np.asarray(res.pcg_iters)[:iters].tolist()
+        lambdas = np.asarray(res.lambdas)[:iters].round(6).tolist()
     t_opt = time.perf_counter() - t1
 
     n = sim.poses_gt.shape[0]
@@ -179,6 +190,12 @@ def cmd_run(args) -> int:
         if valid.size:
             metrics["chi2_first"] = round(float(valid[0]), 2)
             metrics["chi2_final"] = round(float(valid[-1]), 2)
+        # solver telemetry (the reference only ever printed these —
+        # BlockTimer / per-iter chi2; here they ride the metrics JSON)
+        metrics["pcg_iters"] = pcg_iters
+        metrics["lambdas"] = lambdas
+        if args.profile:
+            metrics["profile_trace"] = args.profile
 
     if args.snapshot:
         from toyslam_tpu.io.snapshot import save_snapshot
@@ -320,6 +337,8 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--view", action="store_true",
                    help="show the interactive result plot")
     r.add_argument("--save-plot", metavar="PATH", default=None)
+    r.add_argument("--profile", metavar="DIR", default=None,
+                   help="write a jax.profiler trace of the optimize to DIR")
     r.add_argument("--snapshot", metavar="PATH", default=None,
                    help="save the optimized graph (wire-codec snapshot)")
     r.set_defaults(fn=cmd_run)

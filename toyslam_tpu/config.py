@@ -160,7 +160,12 @@ class OptimizerConfig:
     # Per-edge linearization backend (schur solver): "xla" — batched jnp
     # formulas fused by XLA (the correctness oracle); "pallas" — fused
     # component-major Pallas TPU kernels (ops/pallas_edges.py; interpreted
-    # on CPU).
+    # on CPU).  Recorded A/B on real TPU (BENCH_PALLAS.json, fetch-fenced):
+    # statistically tied on both the 150-pose and tuned 10k configs
+    # (±0.5%) — the linearization is a small slice of the solve — so the
+    # default stays on the oracle path.  Not supported together with
+    # exact_odom_jacobians (ops/edge_blocks.py raises: the kernel encodes
+    # the reference's A=-I/B=I structure).
     edge_backend: str = "xla"
     # True Levenberg-Marquardt step control: after each solve, evaluate the
     # error at the *updated* state (residuals only — cheap next to the
