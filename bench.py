@@ -144,5 +144,23 @@ def main():
     print(json.dumps(out))
 
 
+def _main_with_retry():
+    """The remote-TPU backend occasionally aborts on first touch after
+    heavy prior use of the chip in the same session (observed by the r1
+    judge: 'TPU backend error (Aborted)', retry succeeded).  One retry in
+    a fresh process keeps driver runs from losing the artifact to it."""
+    try:
+        main()
+    except RuntimeError as e:  # pragma: no cover - depends on chip state
+        if "Abort" not in str(e) and "DEADLINE" not in str(e).upper():
+            raise
+        print(f"# TPU backend abort, retrying once: {e}", file=sys.stderr)
+        os.execv(sys.executable, [sys.executable, os.path.abspath(__file__),
+                                  "--no-retry"])
+
+
 if __name__ == "__main__":
-    main()
+    if "--no-retry" in sys.argv:
+        main()
+    else:
+        _main_with_retry()

@@ -243,3 +243,51 @@ def test_two_level_preconditioner_is_spd_and_consistent():
     assert float(jnp.vdot(b, zb)) > 0.0
     lhs, rhs_ = float(jnp.vdot(za, b)), float(jnp.vdot(a, zb))
     assert abs(lhs - rhs_) <= 1e-3 * max(abs(lhs), abs(rhs_)), (lhs, rhs_)
+
+
+def test_coarse_precond_ragged_group():
+    """``coarse_group`` need not divide the pose count: the last coarse
+    aggregate is smaller (ceil-grouping).  Regression for the 100k-scale
+    feasibility run, where group came from a target coarse size and the
+    padded pose count was not a multiple (AssertionError pre-fix).  The
+    ragged two-level preconditioner must still be SPD-consistent and must
+    still let PCG converge."""
+    from toyslam_tpu.ops import blockmath as bm
+    from toyslam_tpu.ops.gather_plan import attach_plan
+    from toyslam_tpu.sim import synthetic
+
+    graph, _, _ = synthetic.make_large_problem(
+        num_poses=200, num_landmarks=150, obs_per_pose=4, seed=1,
+        pose_bucket=64, landmark_bucket=64, edge_bucket=256,
+    )
+    graph = attach_plan(graph)
+    assert graph.num_poses % 48 != 0  # the point of the test
+    sys = schur.assemble_blocks(graph, 1.5, exact_odom_jacobians=True)
+    d = schur.damp(sys, jnp.asarray(1e-3, jnp.float32))
+    hll_inv = schur.inv_blocks(d.hll)
+    op = schur.make_plan_operator(d, hll_inv, graph)
+    s_diag = schur.plan_s_diag(op)
+    upper = schur.chain_upper(d, graph.odom.i, graph.odom.j, graph.num_poses)
+    pre = schur.build_tridiag_precond(s_diag, upper)
+    chol_c = schur.build_coarse_precond(d, hll_inv, graph, 48)
+    assert not bool(jnp.any(jnp.isnan(chol_c)))
+
+    def m_inv(r):
+        return schur.tridiag_apply(pre, r) + schur.coarse_apply(chol_c, 48, r)
+
+    rng = np.random.default_rng(2)
+    a = jnp.asarray(rng.normal(size=(graph.num_poses, 3)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(graph.num_poses, 3)), jnp.float32)
+    za, zb = m_inv(a), m_inv(b)
+    assert float(jnp.vdot(a, za)) > 0.0
+    lhs, rhs_ = float(jnp.vdot(za, b)), float(jnp.vdot(a, zb))
+    assert abs(lhs - rhs_) <= 1e-3 * max(abs(lhs), abs(rhs_)), (lhs, rhs_)
+
+    rhs = -d.bp + schur.hpl_matvec(
+        d, graph.lm_edges.pose, graph.lm_edges.lm,
+        bm.mv(hll_inv, d.bl), graph.num_poses, None, graph.plan,
+    )
+    res = schur.pcg(lambda x: schur.plan_matvec(op, x), m_inv, rhs,
+                    1e-3, 1000)
+    rhs_norm = float(jnp.linalg.norm(rhs))
+    assert float(res.residual_norm) <= 1.5e-3 * rhs_norm

@@ -584,8 +584,10 @@ def build_coarse_precond(
     n, m = graph.num_poses, graph.num_landmarks
     dp = d.hpp_diag.shape[-1]
     dl = d.hll.shape[-1]
-    nc = n // group
-    assert nc * group == n, (n, group)
+    # ceil-grouping: the last coarse aggregate may hold fewer than ``group``
+    # poses (always >= 1), so any n works — 100k-scale runs pick group from
+    # a target coarse size and n is rarely an exact multiple
+    nc = -(-n // group)
 
     gid = jnp.arange(n, dtype=jnp.int32) // group
     gi = graph.odom.i // group
@@ -623,12 +625,14 @@ def build_coarse_precond(
 def coarse_apply(chol: jax.Array, group: int, r: jax.Array) -> jax.Array:
     """``R S_c^{-1} R^T r`` — the coarse correction, [N, d] -> [N, d]."""
     n, dp = r.shape
-    nc = n // group
-    rc = r.reshape(nc, group, dp).sum(axis=1).reshape(-1)
+    nc = -(-n // group)  # ceil, matching build_coarse_precond's ragged tail
+    pad = nc * group - n
+    rp = jnp.pad(r, ((0, pad), (0, 0)))
+    rc = rp.reshape(nc, group, dp).sum(axis=1).reshape(-1)
     zc = jax.scipy.linalg.cho_solve((chol, True), rc)
     return jnp.broadcast_to(
         zc.reshape(nc, 1, dp), (nc, group, dp)
-    ).reshape(n, dp)
+    ).reshape(nc * group, dp)[:n]
 
 
 class PCGResult(NamedTuple):

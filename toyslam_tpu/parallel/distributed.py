@@ -139,6 +139,11 @@ def distributed_linearize_solve(
         if _is_sharded_plan(graph.plan):
             return graph
         graph = dataclasses.replace(graph, plan=None)
+        if not getattr(graph.lm_edges.pose, "is_fully_addressable", True):
+            # global multi-process arrays can't be fetched to the host to
+            # build tables (shard_graph attaches the plan pre-placement);
+            # run the segment-sum path — solve() pads lazily
+            return graph
         graph = pad_edges_for_mesh(graph, n_dev)
         return dataclasses.replace(
             graph, plan=build_sharded_plan(graph, n_dev)

@@ -85,11 +85,20 @@ def shard_graph(
     host graph (deterministic construction — same seed, same build), and
     each device receives exactly its shard.  Edge arrays are padded to a
     multiple of the mesh size first so they shard evenly.
+
+    The per-shard gather plan (gather_plan.build_sharded_plan) is built
+    HERE, while the edge arrays are still process-local — once the graph
+    is global, no process can fetch the full index arrays to the host to
+    build tables (jax raises on non-addressable fetch), which is exactly
+    the multi-host case.
     """
+    from toyslam_tpu.ops.gather_plan import build_sharded_plan
+
     n_dev = mesh.shape[axis]
     graph = pad_edges_for_mesh(
         dataclasses.replace(graph, plan=None), n_dev
     )
+    plan = build_sharded_plan(graph, n_dev)
     edge = NamedSharding(mesh, P(axis))
     repl = NamedSharding(mesh, P())
 
@@ -125,6 +134,7 @@ def shard_graph(
         lm_fixed=put(graph.lm_fixed, repl),
         odom=od,
         lm_edges=lm,
+        plan=jax.tree.map(lambda a: put(a, edge), plan),
     )
 
 

@@ -38,3 +38,31 @@ def load_environment(scale: float = 1.0) -> tuple[np.ndarray, float]:
     free = np.array([[10.0, 10.0], [10.0, 25.0], [22.0, 28.0]])
     pts = np.concatenate(segments + [free], axis=0) / scale
     return pts.astype(np.float32), 0.25 / scale
+
+
+def load_environment_grid(
+    shape: tuple[int, int] = (21, 21)
+) -> tuple[np.ndarray, tuple[int, ...]]:
+    """Occupancy-grid variant of the map: a border of occupied cells.
+
+    Behavioural parity with the reference's (unused) ``load_env_grid``
+    (python/environment.py:30-40), which declares a (21, 21, 21) shape but
+    only ever fills the first two axes — here the grid is honestly 2-D.
+    Returns ``(grid [H, W] float32, shape)``; 1.0 marks an occupied cell.
+    """
+    grid = np.zeros(shape, np.float32)
+    grid[:, 0] = 1.0
+    grid[:, -1] = 1.0
+    grid[0, :] = 1.0
+    grid[-1, :] = 1.0
+    return grid, shape
+
+
+def grid_to_points(
+    grid: np.ndarray, cell: float = 1.0, radius: float = 0.25
+) -> tuple[np.ndarray, float]:
+    """Occupied grid cells as point obstacles — adapts the grid map to the
+    point-based LiDAR simulator (sim/lidar.py)."""
+    ys, xs = np.nonzero(grid > 0.5)
+    pts = np.stack([xs, ys], axis=1).astype(np.float32) * cell
+    return pts, radius
