@@ -291,3 +291,98 @@ def test_coarse_precond_ragged_group():
                     1e-3, 1000)
     rhs_norm = float(jnp.linalg.norm(rhs))
     assert float(res.residual_norm) <= 1.5e-3 * rhs_norm
+
+
+def test_chunk_precond_matches_tridiag_when_unchunked():
+    """With chunk >= N (no boundary cuts) the chunked preconditioner solves
+    the SAME block-tridiagonal system as the PCR factorization — the two
+    applies must agree to f32 roundoff.  This is the correctness oracle
+    for build_chunk_precond's scatter/equilibrate/invert pipeline."""
+    from toyslam_tpu.ops.gather_plan import attach_plan
+    from toyslam_tpu.sim import synthetic
+
+    graph, _, _ = synthetic.make_large_problem(
+        num_poses=200, num_landmarks=150, obs_per_pose=4, seed=1,
+        pose_bucket=64, landmark_bucket=64, edge_bucket=256,
+    )
+    graph = attach_plan(graph)
+    sys = schur.assemble_blocks(graph, 1.5, exact_odom_jacobians=True)
+    d = schur.damp(sys, jnp.asarray(1e-3, jnp.float32))
+    hll_inv = schur.inv_blocks(d.hll)
+    op = schur.make_plan_operator(d, hll_inv, graph)
+    s_diag = schur.plan_s_diag(op)
+    upper = schur.chain_upper(d, graph.odom.i, graph.odom.j, graph.num_poses)
+
+    pre_t = schur.build_tridiag_precond(s_diag, upper)
+    inv_full = schur.build_chunk_precond(s_diag, upper, graph.num_poses)
+
+    rng = np.random.default_rng(0)
+    r = jnp.asarray(rng.normal(size=(graph.num_poses, 3)), jnp.float32)
+    z_t = schur.tridiag_apply(pre_t, r)
+    z_c = schur.chunk_apply(inv_full, r)
+    rel = float(jnp.linalg.norm(z_t - z_c) / jnp.linalg.norm(z_t))
+    assert rel < 1e-5, rel
+
+
+def test_chunk_coarse_pcg_converges_like_tridiag_coarse():
+    """chunk+coarse must not cost materially more PCG iterations than
+    tridiag+coarse (the boundary cuts drop 1/chunk of the chain couplings;
+    the coarse level owns the global modes).  Measured on this problem:
+    both 33 iterations.  Also end-to-end: a full GaussNewton optimize with
+    pcg_precond="chunk+coarse" reaches the same chi2."""
+    from toyslam_tpu.config import OptimizerConfig
+    from toyslam_tpu.optimizer import GaussNewton
+    from toyslam_tpu.ops import blockmath as bm
+    from toyslam_tpu.ops.gather_plan import attach_plan
+    from toyslam_tpu.sim import synthetic
+
+    graph, _, _ = synthetic.make_large_problem(
+        num_poses=400, num_landmarks=300, obs_per_pose=4, seed=0,
+        pose_bucket=64, landmark_bucket=64, edge_bucket=256,
+    )
+    graph = attach_plan(graph)
+    sys = schur.assemble_blocks(graph, 1.5, exact_odom_jacobians=True)
+    d = schur.damp(sys, jnp.asarray(1e-3, jnp.float32))
+    hll_inv = schur.inv_blocks(d.hll)
+    op = schur.make_plan_operator(d, hll_inv, graph)
+    s_diag = schur.plan_s_diag(op)
+    upper = schur.chain_upper(d, graph.odom.i, graph.odom.j, graph.num_poses)
+    rhs = -d.bp + schur.hpl_matvec(
+        d, graph.lm_edges.pose, graph.lm_edges.lm,
+        bm.mv(hll_inv, d.bl), graph.num_poses, None, graph.plan,
+    )
+    matvec = lambda x: schur.plan_matvec(op, x)  # noqa: E731
+    chol_c = schur.build_coarse_precond(d, hll_inv, graph, 16)
+    pre_t = schur.build_tridiag_precond(s_diag, upper)
+    inv_k = schur.build_chunk_precond(s_diag, upper, 64)
+    res_t = schur.pcg(
+        matvec,
+        lambda r: schur.tridiag_apply(pre_t, r)
+        + schur.coarse_apply(chol_c, 16, r),
+        rhs, 1e-3, 1000,
+    )
+    res_c = schur.pcg(
+        matvec,
+        lambda r: schur.chunk_apply(inv_k, r)
+        + schur.coarse_apply(chol_c, 16, r),
+        rhs, 1e-3, 1000,
+    )
+    it_t, it_c = int(res_t.iterations), int(res_c.iterations)
+    assert it_c <= it_t * 1.5 + 5, (it_c, it_t)
+    rhs_norm = float(jnp.linalg.norm(rhs))
+    assert float(res_c.residual_norm) <= 1.5e-3 * rhs_norm
+
+    # end-to-end GN equivalence at the optimum
+    def run(pc):
+        cfg = OptimizerConfig(
+            iterations=10, lr=1.0, solver="schur",
+            exact_odom_jacobians=True, pcg_max_iters=300,
+            pcg_precond=pc, pcg_coarse_group=16, pcg_chunk=64,
+        )
+        gn = GaussNewton(cfg)
+        r = gn.optimize(gn._prepare(graph))
+        errs = np.asarray(r.errors)
+        return float(errs[~np.isnan(errs)][-1])
+
+    chi_t, chi_c = run("tridiag+coarse"), run("chunk+coarse")
+    assert abs(chi_t - chi_c) <= 0.02 * max(chi_t, 1.0), (chi_t, chi_c)

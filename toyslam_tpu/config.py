@@ -137,14 +137,21 @@ class OptimizerConfig:
     #   "tridiag"         — exact block-tridiagonal solve (diagonal +
     #                       odometry-chain coupling) via parallel cyclic
     #                       reduction;
-    #   "jacobi+coarse" / "tridiag+coarse" — two-level: local + additive
-    #                       Galerkin coarse-grid correction over groups of
+    #   "chunk"           — the block-tridiagonal solve restricted to
+    #                       ``pcg_chunk``-pose chunks, applied as ONE
+    #                       batched MXU matmul (vs the PCR apply's
+    #                       ~log2(N) sequential levels of small VPU ops) —
+    #                       the latency-optimal local preconditioner for
+    #                       large graphs;
+    #   "<local>+coarse"  — two-level: local + additive Galerkin
+    #                       coarse-grid correction over groups of
     #                       ``pcg_coarse_group`` poses.  Large graphs need
     #                       the coarse level: smooth error modes otherwise
     #                       dominate (measured 10k-pose: 389 PCG iters with
     #                       tridiag alone).
     pcg_precond: str = "tridiag"
     pcg_coarse_group: int = 64
+    pcg_chunk: int = 64
     # How often the PCG preconditioner (tridiag PCR factors + coarse-grid
     # Cholesky) is rebuilt: 1 = every GN iteration (always exact);
     # 0 = built once at the initial state and FROZEN for the whole

@@ -533,6 +533,87 @@ def chain_upper(
     return _maybe_psum(up, axis_name)
 
 
+def build_chunk_precond(
+    diag: jax.Array, upper: jax.Array, chunk: int
+) -> jax.Array:
+    """Chunked block-Cholesky local preconditioner: the explicit inverse of
+    the block-tridiagonal part of S restricted to contiguous ``chunk``-pose
+    chunks (chain coupling across chunk boundaries is dropped — 1/chunk of
+    the couplings; the coarse level owns the global modes anyway).
+
+    Why it exists: the PCR tridiag apply is ceil(log2 N) *sequential*
+    levels of small [N,d,d] VPU ops (~6 ops/level, ~84 ops per PCG
+    iteration at 10k poses), and the whole PCG loop is op-latency-bound
+    (BENCH_SUITE: 0.1% of VPU peak).  This apply is ONE batched MXU matmul
+    ([nb, chunk*d, chunk*d] x [nb, chunk*d]) — the TPU-native trade: a few
+    extra PCG iterations for a ~40x op-count cut per iteration.
+
+    Build: scatter the diag/upper blocks into ``[nb, chunk*d, chunk*d]``
+    dense chunk matrices (row = t*d + a, t = pose within chunk), Jacobi
+    equilibrate (the 1e6 gauge prior otherwise costs ~6 digits of the f32
+    inverse), invert, un-equilibrate.  Ragged tail is padded with identity
+    rows.  Replaces the same per-chip role as the reference's dense-QR
+    solver (remote/cuda/solver/SolverCudaQr.h:44-81) at the
+    preconditioner level.
+
+    ``diag [N,d,d]``; ``upper[v] [N,d,d]`` = the (v, v+1) chain block (as
+    from chain_upper).  Returns ``inv [nb, chunk*d, chunk*d]``.
+    """
+    n, dp, _ = diag.shape
+    nb = -(-n // chunk)
+    pad = nb * chunk - n
+    t = jnp.arange(n)
+    keep = ((t % chunk) != (chunk - 1)) & (t < n - 1)
+    up = upper * keep[:, None, None].astype(upper.dtype)
+    if pad:
+        eye = jnp.broadcast_to(jnp.eye(dp, dtype=diag.dtype), (pad, dp, dp))
+        diag = jnp.concatenate([diag, eye], axis=0)
+        up = jnp.concatenate(
+            [up, jnp.zeros((pad, dp, dp), up.dtype)], axis=0
+        )
+    sd = diag.reshape(nb, chunk, dp, dp)
+    su = up.reshape(nb, chunk, dp, dp)
+    kd = chunk * dp
+    b = jnp.zeros((nb, kd, kd), diag.dtype)
+    tl = jnp.arange(chunk)
+    for a in range(dp):
+        for c in range(dp):
+            b = b.at[:, tl * dp + a, tl * dp + c].set(sd[:, :, a, c])
+            b = b.at[:, tl[:-1] * dp + a, (tl[:-1] + 1) * dp + c].set(
+                su[:, :-1, a, c]
+            )
+            b = b.at[:, (tl[:-1] + 1) * dp + a, tl[:-1] * dp + c].set(
+                su[:, :-1, c, a]
+            )
+    # Jacobi equilibration: D^-1/2 B D^-1/2 has O(1) diagonal, so the f32
+    # inverse keeps its digits even with the 1e6 gauge prior in chunk 0
+    s = jax.lax.rsqrt(jnp.maximum(
+        jnp.diagonal(b, axis1=-2, axis2=-1), 1e-30
+    ))
+    bs = b * s[:, :, None] * s[:, None, :]
+    inv = jnp.linalg.inv(bs)
+    return inv * s[:, :, None] * s[:, None, :]
+
+
+def chunk_apply(inv: jax.Array, r: jax.Array) -> jax.Array:
+    """``z = M^-1 r`` for the chunked preconditioner — one batched matmul.
+
+    HIGHEST precision: M^-1 must stay symmetric-definite for PCG, and the
+    bf16 MXU passes cost preconditioner quality for no latency win at
+    these shapes.
+    """
+    n, dp = r.shape
+    kd = inv.shape[-1]
+    chunk = kd // dp
+    nb = inv.shape[0]
+    rp = jnp.pad(r, ((0, nb * chunk - n), (0, 0)))
+    zb = jnp.einsum(
+        "bij,bj->bi", inv, rp.reshape(nb, kd),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return zb.reshape(nb * chunk, dp)[:n]
+
+
 def _chol2x2(a: jax.Array) -> jax.Array:
     """Closed-form Cholesky of batched SPD 2x2 blocks."""
     a00 = jnp.maximum(a[..., 0, 0], 1e-30)
@@ -573,9 +654,19 @@ def build_coarse_precond(
 
       R^T Hpp R        — segment-sums of the diagonal/off-diagonal blocks
                          over group pairs (coarse graph is tiny: [Nc,Nc]);
-      R^T Hpl Hll^-1 Hlp R — with U = R^T Hpl (one segment-sum over edges)
-                         and L = chol(Hll^-1): V = U L, fill = V V^T — one
-                         MXU matmul over the [d*Nc, dl*M] flattening.
+      R^T Hpl Hll^-1 Hlp R — with U = R^T Hpl (one segment-sum over edges
+                         per block component) and L = chol(Hll^-1):
+                         V = U L, fill = V V^T — one MXU matmul over the
+                         [d*Nc, dl*M] flattening.
+
+    The coarse system uses COMPONENT-MAJOR ordering (row = a*Nc + c, i.e.
+    all x-components, then all y, then all theta) rather than the
+    pose-major interleaving of the fine system: component-major lets every
+    intermediate be a stack of [Nc, M] planes with two large dims, whereas
+    pose-major needs a [Nc*M, d, dl] buffer whose (3, 2) trailing dims the
+    TPU tiles to (8, 128) — measured 32.9 GB at the 100k-pose scale (OOM)
+    for 771 MB of payload.  Only build_coarse_precond and coarse_apply see
+    the ordering; they agree by construction.
 
     Returns the dense lower Cholesky factor of S_c ``[d*Nc, d*Nc]``.
     Under shard_map the segment-sums reduce with psum, so every device
@@ -598,18 +689,28 @@ def build_coarse_precond(
         jnp.swapaxes(d.hpp_off, -1, -2), gj * nc + gi, nc * nc
     )
     hc = _maybe_psum(hc, axis_name)
-    sc = hc.reshape(nc, nc, dp, dp).transpose(0, 2, 1, 3).reshape(
+    sc = hc.reshape(nc, nc, dp, dp).transpose(2, 0, 3, 1).reshape(
         dp * nc, dp * nc
     )
 
     gp_e = graph.lm_edges.pose // group
-    u = jax.ops.segment_sum(
-        d.hpl, gp_e * m + graph.lm_edges.lm, nc * m
-    )  # [nc*m, dp, dl]
-    u = _maybe_psum(u, axis_name)
-    el = _chol_small(hll_inv)  # [m, dl, dl]
-    v = bm.mm(u.reshape(nc, m, dp, dl), el[None])
-    vf = v.transpose(0, 2, 1, 3).reshape(dp * nc, dl * m)
+    ids = gp_e * m + graph.lm_edges.lm
+    vals = d.hpl.reshape(-1, dp * dl)
+    u = [
+        _maybe_psum(
+            jax.ops.segment_sum(vals[:, k], ids, nc * m), axis_name
+        ).reshape(nc, m)
+        for k in range(dp * dl)
+    ]
+    el = _chol_small(hll_inv)  # [m, dl, dl] lower
+    # V = U L, one [nc, m] plane per (row-component a, col-component b2)
+    vf = jnp.concatenate([
+        jnp.concatenate([
+            sum(u[a * dl + b] * el[:, b, b2][None, :] for b in range(dl))
+            for b2 in range(dl)
+        ], axis=1)
+        for a in range(dp)
+    ], axis=0)  # [dp*nc, dl*m]
     # HIGHEST precision is mandatory: S_c's smallest eigenvalue is ~3e-7 of
     # its largest (the 1e6 gauge prior), far below the MXU's default-bf16
     # matmul passes — measured r2: default precision makes S_c indefinite,
@@ -623,15 +724,19 @@ def build_coarse_precond(
 
 
 def coarse_apply(chol: jax.Array, group: int, r: jax.Array) -> jax.Array:
-    """``R S_c^{-1} R^T r`` — the coarse correction, [N, d] -> [N, d]."""
+    """``R S_c^{-1} R^T r`` — the coarse correction, [N, d] -> [N, d].
+
+    ``chol`` is component-major (see build_coarse_precond); the [nc, dp]
+    transposes here are the tiny ordering shims."""
     n, dp = r.shape
     nc = -(-n // group)  # ceil, matching build_coarse_precond's ragged tail
     pad = nc * group - n
     rp = jnp.pad(r, ((0, pad), (0, 0)))
-    rc = rp.reshape(nc, group, dp).sum(axis=1).reshape(-1)
-    zc = jax.scipy.linalg.cho_solve((chol, True), rc)
+    rc = rp.reshape(nc, group, dp).sum(axis=1)          # [nc, dp]
+    zc = jax.scipy.linalg.cho_solve((chol, True), rc.T.reshape(-1))
+    z = zc.reshape(dp, nc).T                            # [nc, dp]
     return jnp.broadcast_to(
-        zc.reshape(nc, 1, dp), (nc, group, dp)
+        z.reshape(nc, 1, dp), (nc, group, dp)
     ).reshape(nc * group, dp)[:n]
 
 
@@ -788,23 +893,31 @@ def build_precond(
     precond: str,
     coarse_group: int,
     axis_name: str | None = None,
+    chunk: int = 64,
 ) -> PrecondState:
     """Build the PCG preconditioner at the current linearization.
 
     * "jacobi"  — inverse block diagonal of S (local only);
     * "tridiag" — exact solve of the block-tridiagonal part of S (exact
       diagonal + odometry-chain coupling) via parallel cyclic reduction;
-    * "jacobi+coarse" / "tridiag+coarse" — two-level: the local
-      preconditioner plus an additive Galerkin coarse-grid correction over
-      groups of ``coarse_group`` poses (build_coarse_precond) — required
-      for large graphs, where smooth error modes otherwise dominate the
-      iteration count.
+    * "chunk"   — the same block-tridiagonal solve restricted to
+      ``chunk``-pose chunks, applied as one batched MXU matmul
+      (build_chunk_precond) — the latency-optimal local preconditioner;
+    * "<local>+coarse" — two-level: the local preconditioner plus an
+      additive Galerkin coarse-grid correction over groups of
+      ``coarse_group`` poses (build_coarse_precond) — required for large
+      graphs, where smooth error modes otherwise dominate the iteration
+      count.
     """
     local_kind, _, coarse_kind = precond.partition("+")
     if local_kind == "tridiag":
         upper = chain_upper(d, graph.odom.i, graph.odom.j,
                             graph.num_poses, axis_name)
         local = build_tridiag_precond(s_diag, upper)
+    elif local_kind == "chunk":
+        upper = chain_upper(d, graph.odom.i, graph.odom.j,
+                            graph.num_poses, axis_name)
+        local = build_chunk_precond(s_diag, upper, chunk)
     else:
         local = inv_blocks(s_diag)
     if coarse_kind == "coarse":
@@ -820,6 +933,8 @@ def precond_apply_fn(pstate: PrecondState, precond: str, coarse_group: int):
     local_kind, _, coarse_kind = precond.partition("+")
     if local_kind == "tridiag":
         local_apply = lambda r: tridiag_apply(pstate.local, r)  # noqa: E731
+    elif local_kind == "chunk":
+        local_apply = lambda r: chunk_apply(pstate.local, r)  # noqa: E731
     else:
         local_apply = lambda r: bm.mv(pstate.local, r)  # noqa: E731
     if coarse_kind == "coarse":
@@ -840,6 +955,7 @@ def schur_solve(
     precond: str = "tridiag",
     coarse_group: int = 64,
     pstate: PrecondState | None = None,
+    chunk: int = 64,
 ) -> tuple[jax.Array, jax.Array, "SolveStats"]:
     """Solve ``(H + lam I) dx = -b`` via Schur elimination + PCG.
 
@@ -860,7 +976,7 @@ def schur_solve(
     matvec, s_diag_fn = _matvec_and_sdiag(d, hll_inv, graph, axis_name)
     if pstate is None:
         pstate = build_precond(d, hll_inv, graph, s_diag_fn(), precond,
-                               coarse_group, axis_name)
+                               coarse_group, axis_name, chunk)
     precond_apply = precond_apply_fn(pstate, precond, coarse_group)
 
     res = pcg(
@@ -911,7 +1027,7 @@ def schur_linearize_solve(cfg: OptimizerConfig, axis_name: str | None = None):
             dx_p, dx_l, stats = schur_solve(
                 sys, graph, lam, cfg.pcg_tol, cfg.pcg_max_iters, axis_name,
                 cfg.pcg_restart_every, cfg.pcg_precond,
-                cfg.pcg_coarse_group,
+                cfg.pcg_coarse_group, chunk=cfg.pcg_chunk,
             )
             return dx_p, dx_l, sys.err, stats
 
@@ -924,7 +1040,7 @@ def schur_linearize_solve(cfg: OptimizerConfig, axis_name: str | None = None):
         _, s_diag_fn = _matvec_and_sdiag(d, hll_inv, graph, None)
         return build_precond(
             d, hll_inv, graph, s_diag_fn(), cfg.pcg_precond,
-            cfg.pcg_coarse_group,
+            cfg.pcg_coarse_group, chunk=cfg.pcg_chunk,
         )
 
     def init_state(graph: FactorGraph2D):
@@ -945,7 +1061,7 @@ def schur_linearize_solve(cfg: OptimizerConfig, axis_name: str | None = None):
         dx_p, dx_l, stats = schur_solve(
             sys, graph, lam, cfg.pcg_tol, cfg.pcg_max_iters, None,
             cfg.pcg_restart_every, cfg.pcg_precond, cfg.pcg_coarse_group,
-            pstate=pstate,
+            pstate=pstate, chunk=cfg.pcg_chunk,
         )
         return dx_p, dx_l, sys.err, stats, (pstate, calls + 1)
 

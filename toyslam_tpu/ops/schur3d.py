@@ -165,6 +165,7 @@ def schur3d_linearize_solve(cfg: OptimizerConfig, axis_name: str | None = None):
         dx_p, dx_l, stats = schur.schur_solve(
             sys, graph, lam, cfg.pcg_tol, cfg.pcg_max_iters, axis_name,
             cfg.pcg_restart_every, cfg.pcg_precond, cfg.pcg_coarse_group,
+            chunk=cfg.pcg_chunk,
         )
         return dx_p, dx_l, sys.err, stats
 
