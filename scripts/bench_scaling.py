@@ -27,7 +27,7 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-sys.path.insert(0, REPO)
+import _bootstrap  # noqa: F401,E402  (source-checkout shim)
 
 
 def main():

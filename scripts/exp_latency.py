@@ -2,7 +2,7 @@
 
 import sys, os
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import _bootstrap  # noqa: F401,E402  (source-checkout shim)
 
 import jax
 import jax.numpy as jnp

@@ -3,8 +3,7 @@ preconditioner x tolerance x GN budget -> (GN-iter/s, ATE)."""
 
 import sys, os, time, json
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+import _bootstrap  # noqa: F401,E402  (source-checkout shim)
 
 import jax
 import jax.numpy as jnp

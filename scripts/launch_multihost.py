@@ -34,7 +34,7 @@ def worker(args) -> None:
     import jax
 
     jax.config.update("jax_platforms", "cpu")
-    sys.path.insert(0, REPO)
+    import _bootstrap  # noqa: F401,E402  (source-checkout shim)
 
     import numpy as np
 

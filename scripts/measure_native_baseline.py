@@ -17,7 +17,7 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+import _bootstrap  # noqa: F401,E402  (source-checkout shim)
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 

@@ -1,7 +1,7 @@
 """Phase-level timing of one GN iteration on the current platform."""
 
 import sys, os, time
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+import _bootstrap  # noqa: F401,E402  (source-checkout shim)
 
 import jax
 import jax.numpy as jnp

@@ -1,0 +1,68 @@
+"""The driver-artifact guarantee: bench.py must emit one JSON line even when
+the TPU backend hangs or dies (round 2 lost its headline artifact to an
+uncaught FailedPrecondition; the observed failure mode was a hang that no
+in-process handler can catch — VERDICT.md Weak #1/#2)."""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BENCH = os.path.join(REPO, "bench.py")
+
+
+def _run_supervisor(extra_args, env_overrides, timeout=120):
+    env = dict(os.environ)
+    env.update(env_overrides)
+    return subprocess.run(
+        [sys.executable, BENCH] + extra_args,
+        capture_output=True, text=True, env=env, timeout=timeout,
+    )
+
+
+def _last_json_line(stdout: str):
+    lines = [ln for ln in stdout.splitlines() if ln.strip().startswith("{")]
+    assert lines, f"no JSON line in stdout: {stdout!r}"
+    return json.loads(lines[-1])
+
+
+def test_forced_hang_still_emits_artifact():
+    """All three attempts hang -> supervisor kills each at its deadline and
+    still prints a parseable JSON artifact with the failure reasons."""
+    proc = _run_supervisor(
+        ["--selftest-hang"],
+        {"BENCH_DEADLINE_S": "2", "BENCH_CPU_DEADLINE_S": "2"},
+    )
+    assert proc.returncode == 1
+    rec = _last_json_line(proc.stdout)
+    assert rec["value"] is None
+    assert rec["failed"] is True
+    assert len(rec["failures"]) == 3
+    assert all("hang" in f["reason"] for f in rec["failures"])
+    # the hung children were killed (no orphans holding the pipe open is
+    # implied by communicate() returning; rc asserts the supervisor path)
+
+
+def test_worker_crash_falls_back_and_labels_platform():
+    """TPU attempts crash (simulated via a poisoned platform name) -> the
+    CPU fallback produces a real measurement labeled platform=cpu with the
+    TPU failure reasons attached."""
+    proc = _run_supervisor(
+        [],
+        {
+            # poison the first two (default-platform) attempts: the worker
+            # dies at import with an unknown-platform error, exercising the
+            # rc!=0 path; the third attempt overrides JAX_PLATFORMS=cpu
+            "JAX_PLATFORMS": "no_such_platform",
+            "BENCH_DEADLINE_S": "300",
+            "BENCH_CPU_DEADLINE_S": "600",
+        },
+        timeout=900,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    rec = _last_json_line(proc.stdout)
+    assert rec["value"] is not None and rec["value"] > 0
+    assert rec["platform"] == "cpu"
+    assert len(rec["tpu_failures"]) == 2
+    assert rec["metric"].startswith("BA iterations/s")

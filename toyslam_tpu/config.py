@@ -184,6 +184,22 @@ class OptimizerConfig:
     reject_worse_steps: bool = False
     lambda_reject_factor: float = 10.0
 
+    def __post_init__(self):
+        # A typo'd preconditioner name would otherwise silently degrade to
+        # block-Jacobi in build_precond's else branch (ADVICE r2).
+        local, _, coarse = self.pcg_precond.partition("+")
+        if local not in ("jacobi", "tridiag", "chunk") or coarse not in (
+            "", "coarse"
+        ):
+            raise ValueError(
+                f"pcg_precond={self.pcg_precond!r}: expected "
+                "'jacobi'|'tridiag'|'chunk' optionally suffixed '+coarse'"
+            )
+        if self.solver not in ("dense", "schur", "schur3d"):
+            raise ValueError(f"unknown solver {self.solver!r}")
+        if self.edge_backend not in ("xla", "pallas"):
+            raise ValueError(f"unknown edge_backend {self.edge_backend!r}")
+
 
 @dataclasses.dataclass(frozen=True)
 class SlamConfig:

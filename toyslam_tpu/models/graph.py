@@ -201,6 +201,26 @@ class GraphBuilder2D:
             )
         )
 
+    # -- state write-back -------------------------------------------------
+
+    def set_state(self, poses: np.ndarray, landmarks: np.ndarray) -> None:
+        """Overwrite the builder's pose/landmark estimates with optimized
+        values (the reference's ``update_graph``, slam_main.py:196-213).
+        ``poses [num_poses, 3]`` / ``landmarks [num_landmarks, 2]`` must
+        cover exactly the real (unpadded) vertices."""
+        poses = np.asarray(poses, self.dtype)
+        landmarks = np.asarray(landmarks, self.dtype)
+        if poses.shape != (self.num_poses, 3):
+            raise ValueError(
+                f"poses {poses.shape} != ({self.num_poses}, 3)"
+            )
+        if landmarks.shape != (self.num_landmarks, 2):
+            raise ValueError(
+                f"landmarks {landmarks.shape} != ({self.num_landmarks}, 2)"
+            )
+        self._poses = [p for p in poses]
+        self._landmarks = [l for l in landmarks]
+
     # -- build ------------------------------------------------------------
 
     @property

@@ -765,7 +765,7 @@ class SolveStats(NamedTuple):
 
 def pcg(
     matvec, precond_apply, rhs: jax.Array, tol: float, max_iters: int,
-    restart_every: int = 64,
+    restart_every: int = 64, dot_axis_name: str | None = None,
 ) -> PCGResult:
     """Preconditioned conjugate gradients over pose-space ``[N, d]`` arrays.
 
@@ -789,7 +789,10 @@ def pcg(
     """
 
     def dot(a, b):
-        return jnp.vdot(a, b)
+        # ``dot_axis_name`` set = the PCG state itself is sharded (the
+        # partitioned path, parallel/partition.py): inner products psum
+        # their local partials.  Replicated-state callers leave it None.
+        return _maybe_psum(jnp.vdot(a, b), dot_axis_name)
 
     rhs_norm = jnp.sqrt(dot(rhs, rhs))
     atol2 = (tol * rhs_norm) ** 2
@@ -1051,9 +1054,11 @@ def schur_linearize_solve(cfg: OptimizerConfig, axis_name: str | None = None):
         pstate, calls = state
         if refresh > 1:
             # Same-shape branches; single-device only, so no collectives
-            # live under the conditional.
+            # live under the conditional.  calls==0 is excluded: init_state
+            # already built at the same graph/lambda, so rebuilding there
+            # would duplicate the full linearization (ADVICE r2).
             pstate = jax.lax.cond(
-                (calls % refresh) == 0,
+                ((calls % refresh) == 0) & (calls > 0),
                 lambda: _build(graph, lam),
                 lambda: pstate,
             )

@@ -1,4 +1,4 @@
-"""Damped Gauss-Ewton over a :class:`FactorGraph2D`, fully inside ``jit``.
+"""Damped Gauss-Newton over a :class:`FactorGraph2D`, fully inside ``jit``.
 
 Control flow mirrors the reference Python optimizer
 (python/optimizer/graph_optimizer.py:20-92) but runs as a single
@@ -201,7 +201,15 @@ class GaussNewton:
         lam = jnp.asarray(
             cfg.lambda_init if lam is None else lam, graph.poses.dtype
         )
-        dx_p, dx_l, err, _ = self._solver()(graph, lam)
+        solver = self._solver()
+        if getattr(solver, "stateful", False):
+            # stateful solves (pcg_precond_refresh != 1) carry a
+            # preconditioner state; a single step builds and discards one
+            dx_p, dx_l, err, _, _ = solver(
+                graph, lam, solver.init_state(graph)
+            )
+        else:
+            dx_p, dx_l, err, _ = solver(graph, lam)
         poses = self.retract(graph.poses, dx_p * cfg.lr)
         landmarks = graph.landmarks + dx_l * cfg.lr
         return graph.with_state(poses, landmarks), err

@@ -21,3 +21,9 @@ from toyslam_tpu.parallel.distributed import (
     graph_shard_specs,
     graph3d_shard_specs,
 )
+from toyslam_tpu.parallel.partition import (
+    PartitionMeta,
+    PartitionPlan,
+    build_partition,
+    partitioned_linearize_solve,
+)

@@ -169,8 +169,7 @@ class LiveSlam:
         m = self.builder.num_landmarks
         poses = np.asarray(out.poses)[:n]
         lms = np.asarray(out.landmarks)[:m]
-        self.builder._poses = [p for p in poses.astype(np.float32)]
-        self.builder._landmarks = [l for l in lms.astype(np.float32)]
+        self.builder.set_state(poses, lms)
         self.pose_dr = poses[-1].astype(np.float64)
         return out
 
