@@ -21,6 +21,7 @@ north star asks for (the workload is latency-bound: ~40 small [10k,3]-sized
 ops per PCG iteration, each touching ~0.1-10 MB).
 """
 
+import dataclasses
 import json
 import os
 import sys
@@ -191,6 +192,22 @@ def main():
         reps=3,
         flops_per_iter=flops,
         bytes_per_iter=bytes_,
+    ))
+
+    # 3. large sparse 10k with REVISITS (laps=2): every lap re-observes the
+    # map, so ATE is observable — the trajectory-recovery gate the
+    # no-loop-closure workload above cannot provide (VERDICT r2 weak #4).
+    graph, poses_gt, _ = synthetic.make_large_problem(
+        num_poses=10_000, num_landmarks=5_000, obs_per_pose=6, seed=0,
+        laps=2,
+    )
+    results.append(bench_one(
+        "large-sparse-10k-revisit",
+        graph,
+        poses_gt,
+        dataclasses.replace(opt, iterations=20),
+        poses_gt.shape[0],
+        reps=3,
     ))
 
     path = os.path.join(

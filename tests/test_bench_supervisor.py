@@ -51,11 +51,13 @@ def test_worker_crash_falls_back_and_labels_platform():
     proc = _run_supervisor(
         [],
         {
-            # poison the first two (default-platform) attempts: the worker
-            # dies at import with an unknown-platform error, exercising the
-            # rc!=0 path; the third attempt overrides JAX_PLATFORMS=cpu
+            # poison the first two (default-platform) attempts: depending
+            # on the remote-TPU plugin's health the worker either dies at
+            # init (rc!=0 path) or hangs (deadline path) — a SHORT deadline
+            # makes the test deterministic either way; the third attempt
+            # overrides JAX_PLATFORMS=cpu and runs the light CPU schedule
             "JAX_PLATFORMS": "no_such_platform",
-            "BENCH_DEADLINE_S": "300",
+            "BENCH_DEADLINE_S": "20",
             "BENCH_CPU_DEADLINE_S": "600",
         },
         timeout=900,

@@ -122,3 +122,32 @@ def test_large_problem_truncated_newton_quality_gate():
     ))
 
     assert chi2_last <= chi2_gt * 1.001, (chi2_last, chi2_gt)
+
+
+def test_revisit_workload_ate_gate():
+    """The scale config with loop closures (laps=2): revisits anchor
+    drift, so ATE becomes a real acceptance gate alongside chi^2
+    (VERDICT r2 item 6).  CPU-sized replica of large-sparse-10k-revisit
+    (scripts/bench_suite.py), same truncated-Newton budget."""
+    from toyslam_tpu.config import OptimizerConfig
+    from toyslam_tpu.optimizer import GaussNewton
+    from toyslam_tpu.sim import frontend, synthetic
+
+    graph, poses_gt, _ = synthetic.make_large_problem(
+        num_poses=1200, num_landmarks=500, obs_per_pose=5, seed=2,
+        pose_bucket=64, landmark_bucket=64, edge_bucket=256, laps=2,
+    )
+    n = poses_gt.shape[0]
+    cfg = OptimizerConfig(
+        iterations=30, lr=1.0, solver="schur",
+        exact_odom_jacobians=True, pcg_tol=1e-7, pcg_max_iters=400,
+        pcg_precond="tridiag+coarse",
+    )
+    r = GaussNewton(cfg).optimize(graph)
+    est = np.asarray(r.graph.poses)[:n]
+    ate0 = frontend.ate_rmse(np.asarray(graph.poses)[:n], poses_gt)
+    ate1 = frontend.ate_rmse(est, poses_gt)
+    # measured: 14.63 -> 0.079; gate with margin.  This is the multi-loop
+    # ATE regime (0.068 on multi-loop-1k), unreachable without revisits.
+    assert ate0 > 5.0
+    assert ate1 < 0.2, ate1

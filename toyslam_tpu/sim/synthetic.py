@@ -47,6 +47,25 @@ def _integrate(start, controls):
     return out
 
 
+def _relative_controls(poses: np.ndarray) -> np.ndarray:
+    """Odometry controls (dx, dy, dtheta in the source frame) between
+    consecutive poses — the inverse of :func:`_integrate`."""
+    p, q = poses[:-1], poses[1:]
+    c, s = np.cos(p[:, 2]), np.sin(p[:, 2])
+    ex = q[:, 0] - p[:, 0]
+    ey = q[:, 1] - p[:, 1]
+    out = np.stack(
+        [
+            c * ex + s * ey,
+            -s * ex + c * ey,
+            np.arctan2(np.sin(q[:, 2] - p[:, 2]),
+                       np.cos(q[:, 2] - p[:, 2])),
+        ],
+        axis=1,
+    )
+    return out
+
+
 def make_large_problem(
     num_poses: int = 10_000,
     num_landmarks: int = 10_000,
@@ -56,6 +75,7 @@ def make_large_problem(
     pose_bucket: int = 512,
     landmark_bucket: int = 512,
     edge_bucket: int = 4096,
+    laps: int = 1,
 ) -> tuple[FactorGraph2D, np.ndarray, np.ndarray]:
     """Returns ``(graph, poses_gt, landmarks_gt)``.
 
@@ -64,6 +84,12 @@ def make_large_problem(
     landmarks per pose as (range, bearing) with noise; odometry chain with
     noise.  Every landmark index is remapped to first-seen dense order, and
     only observed landmarks become vertices (like the frontend).
+
+    ``laps > 1`` repeats the sweep: every lap re-observes the same
+    landmarks, giving the scale workload real loop closures — without
+    them ATE is unobservable by construction (drift is unconstrained,
+    VERDICT r2 weak #4) and only chi^2 can gate quality.  ``num_poses``
+    stays the TOTAL pose count (``num_poses // laps`` per lap).
     """
     noise = noise or NoiseConfig()
     rng = np.random.default_rng(seed)
@@ -72,15 +98,17 @@ def make_large_problem(
     # reference-trajectory parity)
     arena = math.sqrt(num_landmarks) * 2.0  # ~2 units landmark spacing
 
-    # serpentine ground-truth path
-    rows = max(2, int(math.sqrt(num_poses) / 1.4))
-    per_row = num_poses // rows
+    lap_poses = max(2, num_poses // laps)
+
+    # serpentine ground-truth path (one lap)
+    rows = max(2, int(math.sqrt(lap_poses) / 1.4))
+    per_row = lap_poses // rows
     step = arena / max(per_row, 1)
-    controls = np.zeros((num_poses - 1, 3), np.float64)
+    controls = np.zeros((lap_poses - 1, 3), np.float64)
     k = 0
     for r in range(rows):
         for c in range(per_row - 1):
-            if k >= num_poses - 1:
+            if k >= lap_poses - 1:
                 break
             controls[k] = (step, 0.0, 0.0)
             k += 1
@@ -88,16 +116,23 @@ def make_large_problem(
         # sweep advances (always-left would zigzag between two rows)
         turn = math.pi / 2.0 if r % 2 == 0 else -math.pi / 2.0
         for _ in range(2):
-            if k >= num_poses - 1:
+            if k >= lap_poses - 1:
                 break
             controls[k] = (arena / rows / 2.0, 0.0, turn)
             k += 1
-    while k < num_poses - 1:
+    while k < lap_poses - 1:
         controls[k] = (step, 0.0, 0.0)
         k += 1
 
     start = np.array([0.0, 0.0, 0.0])
     poses_gt = _integrate(start, controls)
+    if laps > 1:
+        # revisit sweep: repeat the lap path (the lap->lap seam is one
+        # ordinary relative-pose control) and re-derive the full control
+        # chain from the stacked ground truth
+        poses_gt = np.concatenate([poses_gt] + [poses_gt] * (laps - 1))
+        controls = _relative_controls(poses_gt)
+    num_poses = poses_gt.shape[0]
 
     # landmark grid with jitter, spanning the trajectory's bounding box
     g = int(math.ceil(math.sqrt(num_landmarks)))
