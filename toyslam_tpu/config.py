@@ -174,6 +174,20 @@ class OptimizerConfig:
     # exact_odom_jacobians (ops/edge_blocks.py raises: the kernel encodes
     # the reference's A=-I/B=I structure).
     edge_backend: str = "xla"
+    # PCG loop backend (schur solver, single-device):
+    #   "auto"  — use the fused Pallas PCG kernel (ops/fused_pcg.py: the
+    #             whole CG loop in chunk-sized on-chip launches, the Schur
+    #             operator in exact T - V V^T form) whenever the graph
+    #             supports it (V fits the VMEM budget, jacobi/tridiag
+    #             local preconditioner); otherwise the XLA loop.
+    #   "fused" — require the fused kernel; raise if unsupported.
+    #   "xla"   — always the XLA while_loop (the correctness oracle).
+    pcg_backend: str = "auto"
+    # PCG iterations per fused-kernel launch; also the true-residual
+    # replacement period on the fused path (the XLA path keeps
+    # pcg_restart_every).  Smaller = finer convergence-check granularity,
+    # larger = fewer launches.
+    pcg_fused_chunk: int = 16
     # True Levenberg-Marquardt step control: after each solve, evaluate the
     # error at the *updated* state (residuals only — cheap next to the
     # solve); if it increased, revert the step and multiply lambda by
@@ -199,6 +213,8 @@ class OptimizerConfig:
             raise ValueError(f"unknown solver {self.solver!r}")
         if self.edge_backend not in ("xla", "pallas"):
             raise ValueError(f"unknown edge_backend {self.edge_backend!r}")
+        if self.pcg_backend not in ("auto", "fused", "xla"):
+            raise ValueError(f"unknown pcg_backend {self.pcg_backend!r}")
 
 
 @dataclasses.dataclass(frozen=True)

@@ -1,0 +1,510 @@
+"""Fused Schur/PCG: the whole conjugate-gradient hot loop inside one
+Pallas TPU kernel.
+
+Why.  The XLA Schur/PCG path (ops/schur.py) is numerically tight but
+*op-latency bound*: every PCG iteration is ~40-100 separate fused XLA
+kernels (matvec gathers, block products, preconditioner levels, dots,
+axpys), and on TPU each kernel launch inside the compiled program costs a
+few microseconds — measured 185 us/iteration on the 150-pose reference
+workload whose actual arithmetic is ~0.1 MFLOP (BENCH_SUITE r2: 0.095% of
+VPU peak, honestly labeled latency-bound).  The reference hits the same
+wall differently: its CUDA path launches discrete kernels per edge type and
+a cuSOLVER dense QR per iteration (reference
+remote/cuda/optimizer/kernels/OptimizerGpu.cu:54-115,
+remote/cuda/solver/SolverCudaQr.h:44-81).
+
+Design.  For graphs whose low-rank factor fits in VMEM, the damped Schur
+complement is re-expressed as
+
+    S = T - V V^T,   T  = block-tridiagonal part of Hpp (odometry chain),
+                     V  = Hpl * chol(Hll^{-1})        (landmark fill-in)
+                          [+ chol(W) columns for loop-closure odometry]
+
+which is EXACT (no approximation): the landmark elimination term
+``Hpl Hll^-1 Hlp`` *is* ``V V^T``, and non-chain odometry edges (j != i+1,
+off-diagonal block -W with W = huber_w * info PSD) fold in exactly as two
+``+chol(W)`` column blocks at rows i and j plus a ``+W`` diagonal
+compensation on T (then ``(V V^T)[i,j] = +W`` so ``S[i,j] = -W``).
+
+The kernel keeps PCG state component-major ``[3, Np]`` (full VPU lane
+utilization), applies T with lane shifts, both V products as MXU
+row-vector x matrix contractions against a single stored ``U[a] =
+V^T``-slab per component (``q @ k^T``-style dot_general — no transposes or
+relayouts in-kernel), the block-tridiagonal PCR preconditioner as L
+unrolled shift-multiply levels (L=0 degenerates to block-Jacobi), and the
+additive Galerkin coarse correction as two small MXU products against a
+0/1 restriction matrix.  One ``pallas_call`` executes ``chunk_iters`` PCG
+iterations; an outer ``lax.while_loop`` re-launches chunks until
+convergence, recomputing the true residual at every chunk boundary — the
+same residual-replacement structure (and therefore the same numerics) as
+ops/schur.py::pcg with ``restart_every = chunk_iters``.
+
+Cost model: per-chunk launch overhead amortizes over ``chunk_iters``
+iterations; the per-iteration critical path is 2 MXU matvecs + O(30)
+vector ops on ``[3, Np]`` — about 10 kernel-internal ops instead of ~100
+XLA kernel launches.
+
+Gating.  Everything the gate needs is static at trace time (array shapes,
+config, and the *presence* of plan.fused — a pytree-structural property),
+so `fused_supported` is safely evaluated inside jit tracing; unsupported
+configurations fall back to the XLA path with identical semantics.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from toyslam_tpu.ops import blockmath as bm
+from toyslam_tpu.ops import schur
+
+_f32 = jnp.float32
+_i32 = jnp.int32
+
+# VMEM budget for the fused kernel's resident operands (v5e has ~16 MB per
+# core; leave headroom for double-buffering and the compiler).
+VMEM_BUDGET_BYTES = 12 * 2**20
+
+_DN_STD = (((1,), (0,)), ((), ()))   # [1,K] @ [K,J]   -> [1,J]
+_DN_T = (((1,), (1,)), ((), ()))     # [1,J] @ [K,J]^T -> [1,K]
+
+
+def _dot(a, b, dn):
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=dn,
+        preferred_element_type=_f32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+class FusedOperator(NamedTuple):
+    """The damped Schur operator in fused ``T - V V^T`` form."""
+
+    u: jax.Array        # f32[3, Np, Mw] per-component V rows (U[a][p, :] =
+    #                      V[(a,p), :]); Mw = 2*M + 3*C closure columns
+    tdiag: jax.Array    # f32[3, 3, Np] T diagonal blocks, component planes
+    tupper: jax.Array   # f32[3, 3, Np] T (v, v+1) blocks
+    tlower: jax.Array   # f32[3, 3, Np] T (v, v-1) blocks = upper[v-1]^T
+
+
+class FusedPrecond(NamedTuple):
+    """PCR block-tridiagonal (+ optional Galerkin coarse) preconditioner in
+    the kernel's plane layout.  ``alphas.shape[0] == 0`` means block-Jacobi
+    (PCR with zero levels — ``binv`` is then the inverse S diagonal)."""
+
+    alphas: jax.Array   # f32[L, 3, 3, Np]
+    gammas: jax.Array   # f32[L, 3, 3, Np]
+    binv: jax.Array     # f32[3, 3, Np]
+    cinv: jax.Array | None   # f32[3, 3, nc, nc] dense coarse inverse blocks
+    rmat: jax.Array | None   # f32[Np, nc] 0/1 restriction matrix
+
+
+def _planes(blocks: jax.Array) -> jax.Array:
+    """[N, a, b] block array -> [a, b, N] component planes."""
+    return jnp.transpose(blocks, (1, 2, 0))
+
+
+def _shift(x: jax.Array, s: int) -> jax.Array:
+    """Circular lane shift of ``x [3, Np]``: ``y[:, p] = x[:, p - s]``.
+
+    Wraparound entries are always multiplied by zero coefficients (the
+    operator/preconditioner coefficient planes vanish at the boundaries by
+    construction), so no masking is needed.  Static concatenation of lane
+    slices lowers on both Mosaic and the interpreter.
+    """
+    if s == 0:
+        return x
+    n = x.shape[-1]
+    s = s % n
+    if s == 0:
+        return x
+    return jnp.concatenate([x[:, n - s:], x[:, : n - s]], axis=1)
+
+
+def _bmv(planes, x):
+    """Block matvec on component planes: [3,3,Np] x [3,Np] -> [3,Np]."""
+    return jnp.sum(planes * x[None, :, :], axis=1)
+
+
+def _make_kernel(nlevels: int, has_coarse: bool, chunk_iters: int):
+    """The chunk kernel body (closure over static structure)."""
+
+    def kernel(*refs):
+        (atol2_ref, maxit_ref, restart_ref, it_ref, rz_ref, rhs_ref,
+         x_ref, r_ref, p_ref, u_ref, td_ref, tu_ref, tl_ref) = refs[:13]
+        rest = refs[13:]
+        if nlevels:
+            al_ref, ga_ref = rest[0], rest[1]
+            rest = rest[2:]
+        else:
+            al_ref = ga_ref = None
+        binv_ref = rest[0]
+        rest = rest[1:]
+        if has_coarse:
+            cinv_ref, rmat_ref = rest[0], rest[1]
+            rest = rest[2:]
+        (x_out_ref, r_out_ref, p_out_ref, it_out_ref, rz_out_ref,
+         rr_out_ref) = rest
+
+        td = td_ref[:]
+        tu = tu_ref[:]
+        tl = tl_ref[:]
+        binv = binv_ref[:]
+
+        def matvec(x):
+            y = _bmv(td, x)
+            y = y + _bmv(tu, _shift(x, -1))   # upper[v] @ x[v+1]
+            y = y + _bmv(tl, _shift(x, 1))    # upper[v-1]^T @ x[v-1]
+            urow = (
+                _dot(x[0:1, :], u_ref[0], _DN_STD)
+                + _dot(x[1:2, :], u_ref[1], _DN_STD)
+                + _dot(x[2:3, :], u_ref[2], _DN_STD)
+            )                                  # [1, Mw] = V^T x
+            w = jnp.concatenate(
+                [_dot(urow, u_ref[a], _DN_T) for a in range(3)], axis=0
+            )                                  # [3, Np] = V (V^T x)
+            return y - w
+
+        def precond(r):
+            t = r
+            s = 1
+            for l in range(nlevels):          # static unroll (PCR levels)
+                t = (
+                    t
+                    + _bmv(al_ref[l], _shift(t, s))
+                    + _bmv(ga_ref[l], _shift(t, -s))
+                )
+                s *= 2
+            z = _bmv(binv, t)
+            if has_coarse:
+                rmat = rmat_ref[:]
+                rc = [_dot(r[b:b + 1, :], rmat, _DN_STD) for b in range(3)]
+                rows = []
+                for a in range(3):
+                    za = rc[0] * 0.0
+                    for b in range(3):
+                        za = za + _dot(rc[b], cinv_ref[a, b], _DN_T)
+                    rows.append(_dot(za, rmat, _DN_T))   # prolong [1, Np]
+                z = z + jnp.concatenate(rows, axis=0)
+            return z
+
+        atol2 = atol2_ref[0, 0]
+        maxit = maxit_ref[0, 0]
+        it0 = it_ref[0, 0]
+
+        # chunk entry: when the restart flag is set (every
+        # ``restart_every`` iterations, and always on the first chunk),
+        # recompute the true residual and reset the search direction —
+        # same replacement semantics as ops/schur.py::pcg chunk_body.
+        # Between restarts the (r, p, rz) recurrence state is carried
+        # across chunk launches so CG's direction history survives the
+        # convergence-check granularity.
+        x = x_ref[:]
+        restart = restart_ref[0, 0] > 0
+        r_true = rhs_ref[:] - matvec(x)
+        r = jnp.where(restart, r_true, r_ref[:])
+        z = precond(r)
+        rz_true = jnp.sum(r * z)
+        p = jnp.where(restart, z, p_ref[:])
+        rz = jnp.where(restart, rz_true, rz_ref[0, 0])
+        rr = jnp.sum(r * r)
+        done0 = jnp.asarray(False)
+
+        def body(_, carry):
+            x, r, p, rz, rr, done, it = carry
+            ap = matvec(p)
+            pap = jnp.sum(p * ap)
+            breakdown = ~(pap > 0.0) | ~jnp.isfinite(pap)
+            done = done | breakdown | (rr <= atol2) | (it >= maxit)
+            alpha = jnp.where(done, 0.0, rz / jnp.where(done, 1.0, pap))
+            x = x + alpha * p
+            r = r - alpha * ap
+            z = precond(r)
+            rz_new = jnp.sum(r * z)
+            rr = jnp.sum(r * r)
+            safe_rz = jnp.where(rz == 0.0, 1.0, rz)
+            beta = jnp.where(done, 0.0, rz_new / safe_rz)
+            p = jnp.where(done, p, z + beta * p)
+            rz = jnp.where(done, rz, rz_new)
+            it = it + jnp.where(done, 0, 1)
+            return (x, r, p, rz, rr, done, it)
+
+        x, r, p, rz, rr, done, it = jax.lax.fori_loop(
+            0, chunk_iters, body, (x, r, p, rz, rr, done0, it0)
+        )
+        x_out_ref[:] = x
+        r_out_ref[:] = r
+        p_out_ref[:] = p
+        it_out_ref[0, 0] = it
+        rz_out_ref[0, 0] = rz
+        rr_out_ref[0, 0] = rr
+
+    return kernel
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def fused_pcg(
+    op: FusedOperator,
+    pre: FusedPrecond,
+    rhs2: jax.Array,          # f32[3, Np]
+    tol: float,
+    max_iters: int,
+    chunk_iters: int,
+    restart_every: int = 64,
+) -> schur.PCGResult:
+    """PCG on the fused operator; numerics match ops/schur.py::pcg —
+    true-residual replacement + direction restart every ``restart_every``
+    iterations, masked no-op iterations after convergence/breakdown.  The
+    convergence check runs every ``chunk_iters`` iterations (per kernel
+    launch); the CG recurrence state is carried across launches."""
+    nlevels = int(pre.alphas.shape[0])
+    has_coarse = pre.cinv is not None
+    np_ = rhs2.shape[1]
+
+    rhs_norm2 = jnp.sum(rhs2 * rhs2)
+    atol2 = (tol ** 2) * rhs_norm2
+    n_chunks = -(-max_iters // chunk_iters)
+    # restart period in whole chunks (>= 1)
+    restart_chunks = max(1, restart_every // chunk_iters)
+
+    kernel = _make_kernel(nlevels, has_coarse, chunk_iters)
+
+    smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)  # noqa: E731
+    vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
+    # VMEM operands: rhs, x, r, p, u, tdiag, tupper, tlower, binv (9)
+    # [+ alphas, gammas] [+ cinv, rmat]
+    in_specs = [smem()] * 5 + [vmem()] * (
+        9 + (2 if nlevels else 0) + (2 if has_coarse else 0)
+    )
+    call = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((3, np_), _f32),   # x
+            jax.ShapeDtypeStruct((3, np_), _f32),   # r
+            jax.ShapeDtypeStruct((3, np_), _f32),   # p
+            jax.ShapeDtypeStruct((1, 1), _i32),     # it
+            jax.ShapeDtypeStruct((1, 1), _f32),     # rz
+            jax.ShapeDtypeStruct((1, 1), _f32),     # rr
+        ),
+        in_specs=in_specs,
+        out_specs=(vmem(), vmem(), vmem(), smem(), smem(), smem()),
+        interpret=_interpret(),
+    )
+
+    atol2_s = jnp.reshape(atol2, (1, 1)).astype(_f32)
+    maxit_s = jnp.full((1, 1), max_iters, _i32)
+    pcr = (pre.alphas, pre.gammas) if nlevels else ()
+    extra = pcr + (pre.binv,)
+    if has_coarse:
+        extra = extra + (pre.cinv, pre.rmat)
+
+    def cond(st):
+        return (st[-1] < n_chunks) & (st[5][0, 0] > atol2)
+
+    def body(st):
+        x, r, p, it, rz, rr, k = st
+        restart = ((k % restart_chunks) == 0).astype(_i32)
+        args = (
+            atol2_s, maxit_s, jnp.reshape(restart, (1, 1)), it, rz,
+            rhs2, x, r, p, op.u, op.tdiag, op.tupper, op.tlower,
+        ) + extra
+        x, r, p, it, rz, rr = call(*args)
+        return (x, r, p, it, rz, rr, k + 1)
+
+    zeros = jnp.zeros_like(rhs2)
+    st = jax.lax.while_loop(
+        cond,
+        body,
+        (
+            zeros, zeros, zeros,
+            jnp.zeros((1, 1), _i32),
+            jnp.zeros((1, 1), _f32),
+            jnp.full((1, 1), rhs_norm2, _f32),
+            jnp.asarray(0, _i32),
+        ),
+    )
+    return schur.PCGResult(
+        x=st[0], iterations=st[3][0, 0],
+        residual_norm=jnp.sqrt(st[5][0, 0]),
+    )
+
+
+def build_fused_operator(
+    d: schur.BlockSystem, hll_inv: jax.Array, graph
+) -> FusedOperator:
+    """Materialize ``T`` and the per-component ``V`` slabs.
+
+    The dense V build is scatter-free: the pose-major gather table
+    (plan.lm_by_pose) turns the per-edge ``Hpl chol(Hll^-1)`` blocks into a
+    ``[Np, Kp, 3, 2]`` grid, and a one-hot batched contraction over the
+    slot axis places them into landmark columns — one MXU einsum instead
+    of a serialized TPU scatter (the CUDA reference scatters with
+    atomicAdd, KernelSe2Point2.cu:122-154).
+    """
+    n, m = graph.num_poses, graph.num_landmarks
+    aux = graph.plan.fused
+    el = schur._chol_small(hll_inv)                       # [M, 2, 2] lower
+    blk = bm.mm(d.hpl, el[graph.lm_edges.lm])             # [E, 3, 2]
+    tbl = graph.plan.lm_by_pose
+    grid = blk[tbl.idx] * tbl.mask[..., None, None]       # [Np, Kp, 3, 2]
+    lmg = graph.lm_edges.lm[tbl.idx]                      # [Np, Kp]
+    onehot = (
+        (lmg[..., None] == jnp.arange(m, dtype=lmg.dtype)[None, None, :])
+        .astype(_f32)
+        * tbl.mask[..., None]
+    )                                                     # [Np, Kp, M]
+    z = jnp.einsum(
+        "pkm,pkab->pmab", onehot, grid.astype(_f32),
+        precision=jax.lax.Precision.HIGHEST,
+    )                                                     # [Np, M, 3, 2]
+    u = jnp.transpose(z, (2, 0, 1, 3)).reshape(3, n, 2 * m)
+
+    tdiag = d.hpp_diag
+    c = aux.closure_e.shape[0]
+    if c:
+        # loop-closure odometry: S[i,j] must be -W (A=-I/B=I structure,
+        # hpp_off = -W); +chol(W) columns at rows i AND j give
+        # (V V^T)[i,j] = +W, and the +W they add on the (i,i)/(j,j)
+        # diagonals is compensated on T.
+        wcl = -d.hpp_off[aux.closure_e]                   # [C, 3, 3] PSD
+        lcl = jnp.linalg.cholesky(wcl)
+        cid = jnp.arange(c)
+        ue = jnp.zeros((n, c, 3, 3), _f32)
+        ue = ue.at[aux.closure_i, cid].add(lcl)
+        ue = ue.at[aux.closure_j, cid].add(lcl)
+        u = jnp.concatenate(
+            [u, jnp.transpose(ue, (2, 0, 1, 3)).reshape(3, n, 3 * c)],
+            axis=2,
+        )
+        extra = jax.ops.segment_sum(wcl, aux.closure_i, n)
+        extra = extra + jax.ops.segment_sum(wcl, aux.closure_j, n)
+        tdiag = tdiag + extra
+
+    upper = schur.chain_upper(d, graph.odom.i, graph.odom.j, n)
+    lower = jnp.swapaxes(schur._shift_down(upper, 1), -1, -2)
+    return FusedOperator(
+        u=u,
+        tdiag=_planes(tdiag),
+        tupper=_planes(upper),
+        tlower=_planes(lower),
+    )
+
+
+def build_fused_precond(
+    d: schur.BlockSystem,
+    hll_inv: jax.Array,
+    graph,
+    s_diag: jax.Array,
+    precond: str,
+    coarse_group: int,
+) -> FusedPrecond:
+    """Reuses the XLA preconditioner factorizations (ops/schur.py) and
+    re-lays them out for the kernel; the coarse Cholesky factor becomes an
+    explicit inverse (triangular solves don't exist in-kernel; the factor
+    is Jacobi-equilibrated at build so the explicit inverse keeps its
+    digits)."""
+    n = graph.num_poses
+    local_kind, _, coarse_kind = precond.partition("+")
+    if local_kind == "tridiag":
+        upper = schur.chain_upper(d, graph.odom.i, graph.odom.j, n)
+        pcr = schur.build_tridiag_precond(s_diag, upper)
+        alphas = jnp.transpose(pcr.alphas, (0, 2, 3, 1))
+        gammas = jnp.transpose(pcr.gammas, (0, 2, 3, 1))
+        binv = _planes(pcr.binv)
+    else:  # jacobi
+        alphas = jnp.zeros((0, 3, 3, n), _f32)
+        gammas = alphas
+        binv = _planes(schur.inv_blocks(s_diag))
+    if coarse_kind == "coarse":
+        chol = schur.build_coarse_precond(d, hll_inv, graph, coarse_group)
+        dim = chol.shape[0]
+        nc = dim // 3
+        cinv = jax.scipy.linalg.cho_solve(
+            (chol, True), jnp.eye(dim, dtype=chol.dtype)
+        )
+        # comp-major rows/cols (a*nc + c) -> [a, b, nc, nc] blocks
+        cinv_b = jnp.transpose(
+            cinv.reshape(3, nc, 3, nc), (0, 2, 1, 3)
+        )
+        rmat = (
+            (jnp.arange(n) // coarse_group)[:, None]
+            == jnp.arange(nc)[None, :]
+        ).astype(_f32)
+        return FusedPrecond(alphas, gammas, binv, cinv_b, rmat)
+    return FusedPrecond(alphas, gammas, binv, None, None)
+
+
+def fused_supported(cfg, graph, axis_name) -> bool:
+    """Trace-time static gate: shapes, config, and plan.fused presence only."""
+    if getattr(cfg, "pcg_backend", "auto") == "xla":
+        return False
+    if axis_name is not None or graph.plan is None:
+        return False
+    aux = getattr(graph.plan, "fused", None)
+    if aux is None:
+        return False
+    local_kind, _, coarse_kind = cfg.pcg_precond.partition("+")
+    if local_kind not in ("jacobi", "tridiag"):
+        return False
+    n, m = graph.num_poses, graph.num_landmarks
+    c = aux.closure_e.shape[0]
+    if c and cfg.exact_odom_jacobians:
+        return False  # closure fold-in assumes the A=-I/B=I block structure
+    if coarse_kind == "coarse" and n % cfg.pcg_coarse_group:
+        return False
+    mw = 2 * m + 3 * c
+    nlevels = max(1, (n - 1).bit_length()) if local_kind == "tridiag" else 0
+    nc = -(-n // cfg.pcg_coarse_group) if coarse_kind == "coarse" else 0
+    vmem = 4 * (
+        3 * n * mw                 # U slabs
+        + 4 * 9 * n                # T planes + binv
+        + 2 * nlevels * 9 * n      # PCR coefficient planes
+        + 9 * nc * nc + n * nc     # coarse inverse + restriction
+        + 8 * 3 * n                # state vectors + temps
+    )
+    return vmem <= VMEM_BUDGET_BYTES
+
+
+def fused_schur_solve(
+    sys: schur.BlockSystem,
+    graph,
+    lam: jax.Array,
+    tol: float,
+    max_iters: int,
+    precond: str,
+    coarse_group: int,
+    chunk_iters: int,
+    restart_every: int = 64,
+) -> tuple[jax.Array, jax.Array, schur.SolveStats]:
+    """Drop-in replacement for ops/schur.py::schur_solve on supported
+    configurations — same reduction math, same damping, same Huber
+    weighting, same back-substitution; only the PCG loop moves on-chip."""
+    d = schur.damp(sys, lam)
+    hll_inv = schur.inv_blocks(d.hll)
+    rhs = -d.bp + schur.hpl_matvec(
+        d, graph.lm_edges.pose, graph.lm_edges.lm,
+        bm.mv(hll_inv, d.bl), graph.num_poses, None, graph.plan,
+    )
+    op = build_fused_operator(d, hll_inv, graph)
+    s_diag = schur.schur_s_diag(d, hll_inv, graph)
+    pre = build_fused_precond(d, hll_inv, graph, s_diag, precond,
+                              coarse_group)
+    res = fused_pcg(op, pre, rhs.T, tol, max_iters, chunk_iters,
+                    restart_every)
+    dx_p = res.x.T
+    u = schur.hlp_matvec(
+        d, graph.lm_edges.pose, graph.lm_edges.lm, dx_p,
+        graph.num_landmarks, None, graph.plan,
+    )
+    dx_l = bm.mv(hll_inv, -d.bl - u)
+    stats = schur.SolveStats(pcg_iters=res.iterations,
+                             pcg_residual=res.residual_norm)
+    return dx_p, dx_l, stats

@@ -40,11 +40,29 @@ class VertexTable:
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
+class FusedAux:
+    """Host-extracted structure for the fused Pallas PCG path
+    (ops/fused_pcg.py): the non-chain odometry edges (j != i+1 — loop
+    closures), whose off-diagonal Hessian blocks cannot ride the
+    block-tridiagonal part of the fused operator and are folded into the
+    dense low-rank factor instead.  The *presence* of this aux on a plan is
+    a static pytree property, so trace-time gating on it is jit-safe."""
+
+    closure_e: jax.Array   # i32[C] odometry edge index
+    closure_i: jax.Array   # i32[C] first pose of that edge
+    closure_j: jax.Array   # i32[C] second pose
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
 class GatherPlan:
     lm_by_pose: VertexTable   # landmark edges grouped by observing pose
     lm_by_lm: VertexTable     # landmark edges grouped by landmark
     odom_by_i: VertexTable    # odometry edges grouped by first pose
     odom_by_j: VertexTable    # odometry edges grouped by second pose
+    # FusedAux when built host-side (attach_plan); None for sharded plans —
+    # the fused single-device solver is gated on its presence.
+    fused: object = None
 
 
 def _build_table(
@@ -86,11 +104,17 @@ def build_gather_plan(graph: FactorGraph2D) -> GatherPlan:
     od_i = np.asarray(graph.odom.i)
     od_j = np.asarray(graph.odom.j)
     od_mask = np.asarray(graph.odom.mask)
+    closure = np.nonzero((od_mask > 0) & (od_j != od_i + 1))[0].astype(np.int32)
     return GatherPlan(
         lm_by_pose=_build_table(lm_pose, lm_mask, n),
         lm_by_lm=_build_table(lm_lm, lm_mask, m),
         odom_by_i=_build_table(od_i, od_mask, n),
         odom_by_j=_build_table(od_j, od_mask, n),
+        fused=FusedAux(
+            closure_e=closure,
+            closure_i=od_i[closure].astype(np.int32),
+            closure_j=od_j[closure].astype(np.int32),
+        ),
     )
 
 

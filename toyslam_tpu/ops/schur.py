@@ -1027,6 +1027,24 @@ def schur_linearize_solve(cfg: OptimizerConfig, axis_name: str | None = None):
 
         def solve(graph: FactorGraph2D, lam: jax.Array):
             sys = _assemble(graph)
+            # Trace-time static dispatch to the fused Pallas PCG kernel
+            # (ops/fused_pcg.py) — decided from shapes/config/pytree
+            # structure only, so the choice is baked into the jit cache key.
+            from toyslam_tpu.ops import fused_pcg as fp
+
+            if fp.fused_supported(cfg, graph, axis_name):
+                dx_p, dx_l, stats = fp.fused_schur_solve(
+                    sys, graph, lam, cfg.pcg_tol, cfg.pcg_max_iters,
+                    cfg.pcg_precond, cfg.pcg_coarse_group,
+                    cfg.pcg_fused_chunk, cfg.pcg_restart_every,
+                )
+                return dx_p, dx_l, sys.err, stats
+            if cfg.pcg_backend == "fused":
+                raise ValueError(
+                    "pcg_backend='fused' but the graph/config does not "
+                    "support the fused PCG kernel (see "
+                    "ops/fused_pcg.py::fused_supported)"
+                )
             dx_p, dx_l, stats = schur_solve(
                 sys, graph, lam, cfg.pcg_tol, cfg.pcg_max_iters, axis_name,
                 cfg.pcg_restart_every, cfg.pcg_precond,
