@@ -1,11 +1,11 @@
 """Headline benchmark: BA iterations/s on the reference workload.
 
 Runs the flagship pipeline (150-pose seeded sim 2D LiDAR graph, 10-iteration
-damped Gauss-Newton, dense MXU-Cholesky solver — the measured winner at this
-scale; Schur+PCG takes over at 1k+ poses, see BENCH_SUITE.json) on the
-default JAX platform (TPU when available) and prints ONE JSON line comparing
-against the measured reference baseline (BASELINE_MEASURED.json — the
-reference's own Python optimizer, plus our native C++ engine as the
+damped Gauss-Newton, fused Pallas Schur/PCG solver — the round-3 measured
+winner at 1593 iter/s vs 403 dense-Cholesky vs 158 XLA-PCG, BENCH_FUSED.json)
+on the default JAX platform (TPU when available) and prints ONE JSON line
+comparing against the measured reference baseline (BASELINE_MEASURED.json —
+the reference's own Python optimizer, plus our native C++ engine as the
 Eigen-class CPU comparator).
 
 Timing methodology (v2): on the remote-TPU ('axon') platform
@@ -52,7 +52,8 @@ import time
 _REPO = os.path.dirname(os.path.abspath(__file__))
 
 _METRIC = (
-    "BA iterations/s (sim 2D LiDAR, 150 poses, damped GN, dense MXU Cholesky)"
+    "BA iterations/s (sim 2D LiDAR, 150 poses, damped GN, fused Pallas "
+    "Schur/PCG)"
 )
 
 
@@ -96,14 +97,17 @@ def worker():
     from toyslam_tpu.optimizer import GaussNewton
     from toyslam_tpu.sim import frontend
 
-    # Solver A/B on this exact config (TPU, fetch-fenced): dense-Cholesky
-    # 403.5 iter/s vs Schur+PCG 156.1 at identical ATE 0.7552 — at 150
-    # poses the one-MXU-matmul dense path beats ~35 tiny-op PCG iterations;
-    # the Schur path takes over at scale (see BENCH_SUITE.json).
+    # Solver A/B on this exact config (TPU, fetch-fenced, BENCH_FUSED.json
+    # r3): fused Pallas Schur/PCG 1593 iter/s vs dense-Cholesky 403.5 vs
+    # XLA Schur/PCG 158 at identical ATE 0.7552 — the whole-CG-loop-in-one-
+    # kernel path (ops/fused_pcg.py) removes the per-op launch latency that
+    # bound both alternatives.  pcg_backend="auto" falls back to the XLA
+    # loop on platforms/configs the kernel doesn't support, so the bench
+    # never fails on the solver choice.
     cfg = SlamConfig(
         sim=SimConfig(robot_steps=150, seed=0),
         optimizer=OptimizerConfig(
-            iterations=10, lr=0.2, solver="dense",
+            iterations=10, lr=0.2, solver="schur", pcg_precond="tridiag",
         ),
     )
     sim = frontend.simulate(cfg.sim)

@@ -203,3 +203,51 @@ def test_fused_backend_raises_when_unsupported(small_graph):
     gn = GaussNewton(config=cfg)
     with pytest.raises(ValueError, match="fused"):
         gn.optimize(small_graph)
+
+
+# --- SE(3) (schur3d, 6/3 blocks) ------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ba_graph():
+    from toyslam_tpu.sim import synthetic3d
+
+    graph, _, _ = synthetic3d.make_ba_problem(
+        num_poses=96, num_landmarks=300, seed=0
+    )
+    return attach_plan(graph)
+
+
+def test_fused_solve_matches_xla_se3(ba_graph):
+    from toyslam_tpu.ops import schur3d
+
+    sys_b = schur3d.assemble_blocks_3d(ba_graph, 1.5)
+    lam = jnp.asarray(1e-3, jnp.float32)
+    dxp0, dxl0, st0 = schur.schur_solve(
+        sys_b, ba_graph, lam, 1e-6, 300, None, 64, "tridiag", 64
+    )
+    dxp1, dxl1, st1 = fp.fused_schur_solve(
+        sys_b, ba_graph, lam, 1e-6, 300, "tridiag", 64, 16, 64
+    )
+    scale = float(jnp.max(jnp.abs(dxp0)))
+    assert float(jnp.max(jnp.abs(dxp0 - dxp1))) / scale < 1e-3
+    assert int(st1.pcg_iters) < 300
+
+
+def test_gauss_newton_se3_parity(ba_graph):
+    base = OptimizerConfig(
+        solver="schur3d", pcg_precond="tridiag", iterations=6,
+        reject_worse_steps=True,
+    )
+    rx = GaussNewton(
+        config=dataclasses.replace(base, pcg_backend="xla")
+    ).optimize(ba_graph)
+    rf = GaussNewton(
+        config=dataclasses.replace(base, pcg_backend="fused")
+    ).optimize(ba_graph)
+    ex, ef = np.asarray(rx.errors), np.asarray(rf.errors)
+    valid = ~np.isnan(ex)
+    np.testing.assert_allclose(ef[valid], ex[valid], rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(rf.graph.poses), np.asarray(rx.graph.poses), atol=1e-3
+    )

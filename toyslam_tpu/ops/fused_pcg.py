@@ -66,9 +66,13 @@ from toyslam_tpu.ops import schur
 _f32 = jnp.float32
 _i32 = jnp.int32
 
-# VMEM budget for the fused kernel's resident operands (v5e has ~16 MB per
-# core; leave headroom for double-buffering and the compiler).
-VMEM_BUDGET_BYTES = 12 * 2**20
+# Operand budget for the gate (what build_fused_operator will resident in
+# VMEM) and the Mosaic scoped-VMEM ceiling requested for the kernel —
+# Mosaic's 16 MB default is a conservative scoped limit, not the physical
+# VMEM size; the kernel additionally needs working-set headroom (state
+# copies, dot temporaries), so the gate budget stays well under the limit.
+VMEM_BUDGET_BYTES = 24 * 2**20
+VMEM_LIMIT_BYTES = 64 * 2**20
 
 _DN_STD = (((1,), (0,)), ((), ()))   # [1,K] @ [K,J]   -> [1,J]
 _DN_T = (((1,), (1,)), ((), ()))     # [1,J] @ [K,J]^T -> [1,K]
@@ -85,11 +89,11 @@ def _dot(a, b, dn):
 class FusedOperator(NamedTuple):
     """The damped Schur operator in fused ``T - V V^T`` form."""
 
-    u: jax.Array        # f32[3, Np, Mw] per-component V rows (U[a][p, :] =
-    #                      V[(a,p), :]); Mw = 2*M + 3*C closure columns
-    tdiag: jax.Array    # f32[3, 3, Np] T diagonal blocks, component planes
-    tupper: jax.Array   # f32[3, 3, Np] T (v, v+1) blocks
-    tlower: jax.Array   # f32[3, 3, Np] T (v, v-1) blocks = upper[v-1]^T
+    u: jax.Array        # f32[dp, Np, Mw] per-component V rows (U[a][p, :]
+    #                      = V[(a,p), :]); Mw = dl*M + dp*C closure columns
+    tdiag: jax.Array    # f32[dp, dp, Np] T diagonal blocks, component planes
+    tupper: jax.Array   # f32[dp, dp, Np] T (v, v+1) blocks
+    tlower: jax.Array   # f32[dp, dp, Np] T (v, v-1) blocks = upper[v-1]^T
 
 
 class FusedPrecond(NamedTuple):
@@ -97,16 +101,81 @@ class FusedPrecond(NamedTuple):
     the kernel's plane layout.  ``alphas.shape[0] == 0`` means block-Jacobi
     (PCR with zero levels — ``binv`` is then the inverse S diagonal)."""
 
-    alphas: jax.Array   # f32[L, 3, 3, Np]
-    gammas: jax.Array   # f32[L, 3, 3, Np]
-    binv: jax.Array     # f32[3, 3, Np]
-    cinv: jax.Array | None   # f32[3, 3, nc, nc] dense coarse inverse blocks
+    alphas: jax.Array   # f32[L, dp, dp, Np]
+    gammas: jax.Array   # f32[L, dp, dp, Np]
+    binv: jax.Array     # f32[dp, dp, Np]
+    cinv: jax.Array | None   # f32[dp, dp, nc, nc] coarse inverse blocks
     rmat: jax.Array | None   # f32[Np, nc] 0/1 restriction matrix
 
 
 def _planes(blocks: jax.Array) -> jax.Array:
     """[N, a, b] block array -> [a, b, N] component planes."""
     return jnp.transpose(blocks, (1, 2, 0))
+
+
+def _chol_spd(a: jax.Array) -> jax.Array:
+    """Batched closed-form Cholesky of tiny SPD blocks with clamped pivots.
+
+    ``jnp.linalg.cholesky`` NaNs on a pivot that f32 rounding pushes
+    negative (observed on ill-conditioned BA landmark blocks); the closed
+    forms clamp every pivot at a tiny positive floor instead — the factor
+    of a nearby SPD matrix, which is all the V-slab needs.
+    """
+    k = a.shape[-1]
+    tiny = 1e-30
+    if k == 2:
+        l00 = jnp.sqrt(jnp.maximum(a[..., 0, 0], tiny))
+        l10 = a[..., 1, 0] / l00
+        l11 = jnp.sqrt(jnp.maximum(a[..., 1, 1] - l10 * l10, tiny))
+        z = jnp.zeros_like(l00)
+        return jnp.stack([
+            jnp.stack([l00, z], -1),
+            jnp.stack([l10, l11], -1),
+        ], -2)
+    if k == 3:
+        l00 = jnp.sqrt(jnp.maximum(a[..., 0, 0], tiny))
+        l10 = a[..., 1, 0] / l00
+        l20 = a[..., 2, 0] / l00
+        l11 = jnp.sqrt(jnp.maximum(a[..., 1, 1] - l10 * l10, tiny))
+        l21 = (a[..., 2, 1] - l20 * l10) / l11
+        l22 = jnp.sqrt(
+            jnp.maximum(a[..., 2, 2] - l20 * l20 - l21 * l21, tiny)
+        )
+        z = jnp.zeros_like(l00)
+        return jnp.stack([
+            jnp.stack([l00, z, z], -1),
+            jnp.stack([l10, l11, z], -1),
+            jnp.stack([l20, l21, l22], -1),
+        ], -2)
+    return jnp.linalg.cholesky(a)
+
+
+def _tri_inv_lower(l: jax.Array) -> jax.Array:
+    """Closed-form inverse of batched lower-triangular 2x2/3x3 blocks."""
+    k = l.shape[-1]
+    if k == 2:
+        m00 = 1.0 / l[..., 0, 0]
+        m11 = 1.0 / l[..., 1, 1]
+        m10 = -l[..., 1, 0] * m00 * m11
+        z = jnp.zeros_like(m00)
+        return jnp.stack([
+            jnp.stack([m00, z], -1),
+            jnp.stack([m10, m11], -1),
+        ], -2)
+    if k == 3:
+        m00 = 1.0 / l[..., 0, 0]
+        m11 = 1.0 / l[..., 1, 1]
+        m22 = 1.0 / l[..., 2, 2]
+        m10 = -l[..., 1, 0] * m00 * m11
+        m21 = -l[..., 2, 1] * m11 * m22
+        m20 = -(l[..., 2, 0] * m00 + l[..., 2, 1] * m10) * m22
+        z = jnp.zeros_like(m00)
+        return jnp.stack([
+            jnp.stack([m00, z, z], -1),
+            jnp.stack([m10, m11, z], -1),
+            jnp.stack([m20, m21, m22], -1),
+        ], -2)
+    raise ValueError(f"unsupported block size {k}")
 
 
 def _shift(x: jax.Array, s: int) -> jax.Array:
@@ -131,13 +200,22 @@ def _bmv(planes, x):
     return jnp.sum(planes * x[None, :, :], axis=1)
 
 
-def _make_kernel(nlevels: int, has_coarse: bool, chunk_iters: int):
-    """The chunk kernel body (closure over static structure)."""
+def _make_kernel(nlevels: int, has_coarse: bool, chunk_iters: int,
+                 dp: int):
+    """The chunk kernel body (closure over static structure).
+
+    The V slabs arrive as ``dp`` SEPARATE refs: indexing one stacked
+    ``[dp, Np, Mw]`` ref inside the kernel materializes a full slab copy
+    per component on the Mosaic value stack (measured 41 MB scoped-VMEM at
+    the 1k config — 2.5x over budget); separate refs are read in place.
+    """
 
     def kernel(*refs):
-        (atol2_ref, maxit_ref, restart_ref, it_ref, rz_ref, rhs_ref,
-         x_ref, r_ref, p_ref, u_ref, td_ref, tu_ref, tl_ref) = refs[:13]
-        rest = refs[13:]
+        (atol2_ref, maxit_ref, restart_ref, it_ref, rz_ref, stop_ref,
+         rhs_ref, x_ref, r_ref, p_ref) = refs[:10]
+        u_refs = refs[10:10 + dp]
+        (td_ref, tu_ref, tl_ref) = refs[10 + dp:13 + dp]
+        rest = refs[13 + dp:]
         if nlevels:
             al_ref, ga_ref = rest[0], rest[1]
             rest = rest[2:]
@@ -149,25 +227,39 @@ def _make_kernel(nlevels: int, has_coarse: bool, chunk_iters: int):
             cinv_ref, rmat_ref = rest[0], rest[1]
             rest = rest[2:]
         (x_out_ref, r_out_ref, p_out_ref, it_out_ref, rz_out_ref,
-         rr_out_ref) = rest
+         stop_out_ref, rr_out_ref) = rest
 
+        # Hoist EVERY ref read out of the iteration loop: the fori body is
+        # unrolled by the Mosaic pipeline, and an in-body ``ref[:]`` read
+        # gets a fresh value-stack slot per unrolled trip (measured 82 MB
+        # scoped-VMEM at the 1k config with in-body slab reads).  Hoisted
+        # values are single SSA values every trip reuses.
         td = td_ref[:]
         tu = tu_ref[:]
         tl = tl_ref[:]
         binv = binv_ref[:]
+        us = [r[:] for r in u_refs]
+        if nlevels:
+            als = [al_ref[l] for l in range(nlevels)]
+            gas = [ga_ref[l] for l in range(nlevels)]
+        if has_coarse:
+            rmat = rmat_ref[:]
+            cinvs = [
+                [cinv_ref[a, b] for b in range(dp)] for a in range(dp)
+            ]
 
         def matvec(x):
             y = _bmv(td, x)
             y = y + _bmv(tu, _shift(x, -1))   # upper[v] @ x[v+1]
             y = y + _bmv(tl, _shift(x, 1))    # upper[v-1]^T @ x[v-1]
-            urow = (
-                _dot(x[0:1, :], u_ref[0], _DN_STD)
-                + _dot(x[1:2, :], u_ref[1], _DN_STD)
-                + _dot(x[2:3, :], u_ref[2], _DN_STD)
-            )                                  # [1, Mw] = V^T x
+            urow = _dot(x[0:1, :], us[0], _DN_STD)
+            for a in range(1, dp):
+                urow = urow + _dot(x[a:a + 1, :], us[a], _DN_STD)
+            # urow [1, Mw] = V^T x
             w = jnp.concatenate(
-                [_dot(urow, u_ref[a], _DN_T) for a in range(3)], axis=0
-            )                                  # [3, Np] = V (V^T x)
+                [_dot(urow, us[a], _DN_T) for a in range(dp)],
+                axis=0,
+            )                                  # [dp, Np] = V (V^T x)
             return y - w
 
         def precond(r):
@@ -176,19 +268,19 @@ def _make_kernel(nlevels: int, has_coarse: bool, chunk_iters: int):
             for l in range(nlevels):          # static unroll (PCR levels)
                 t = (
                     t
-                    + _bmv(al_ref[l], _shift(t, s))
-                    + _bmv(ga_ref[l], _shift(t, -s))
+                    + _bmv(als[l], _shift(t, s))
+                    + _bmv(gas[l], _shift(t, -s))
                 )
                 s *= 2
             z = _bmv(binv, t)
             if has_coarse:
-                rmat = rmat_ref[:]
-                rc = [_dot(r[b:b + 1, :], rmat, _DN_STD) for b in range(3)]
+                rc = [_dot(r[b:b + 1, :], rmat, _DN_STD)
+                      for b in range(dp)]
                 rows = []
-                for a in range(3):
+                for a in range(dp):
                     za = rc[0] * 0.0
-                    for b in range(3):
-                        za = za + _dot(rc[b], cinv_ref[a, b], _DN_T)
+                    for b in range(dp):
+                        za = za + _dot(rc[b], cinvs[a][b], _DN_T)
                     rows.append(_dot(za, rmat, _DN_T))   # prolong [1, Np]
                 z = z + jnp.concatenate(rows, axis=0)
             return z
@@ -213,14 +305,19 @@ def _make_kernel(nlevels: int, has_coarse: bool, chunk_iters: int):
         p = jnp.where(restart, z, p_ref[:])
         rz = jnp.where(restart, rz_true, rz_ref[0, 0])
         rr = jnp.sum(r * r)
-        done0 = jnp.asarray(False)
+        # sticky f32-breakdown flag: once curvature loses positivity at the
+        # accuracy floor the iterate must FREEZE for good (restarting and
+        # iterating past the floor makes CG semiconvergence *grow* the
+        # error) — mirrors the XLA pcg's persistent `stop`
+        stop0 = stop_ref[0, 0] > 0
 
         def body(_, carry):
-            x, r, p, rz, rr, done, it = carry
+            x, r, p, rz, rr, stop, it = carry
             ap = matvec(p)
             pap = jnp.sum(p * ap)
             breakdown = ~(pap > 0.0) | ~jnp.isfinite(pap)
-            done = done | breakdown | (rr <= atol2) | (it >= maxit)
+            stop = stop | breakdown
+            done = stop | (rr <= atol2) | (it >= maxit)
             alpha = jnp.where(done, 0.0, rz / jnp.where(done, 1.0, pap))
             x = x + alpha * p
             r = r - alpha * ap
@@ -232,16 +329,17 @@ def _make_kernel(nlevels: int, has_coarse: bool, chunk_iters: int):
             p = jnp.where(done, p, z + beta * p)
             rz = jnp.where(done, rz, rz_new)
             it = it + jnp.where(done, 0, 1)
-            return (x, r, p, rz, rr, done, it)
+            return (x, r, p, rz, rr, stop, it)
 
-        x, r, p, rz, rr, done, it = jax.lax.fori_loop(
-            0, chunk_iters, body, (x, r, p, rz, rr, done0, it0)
+        x, r, p, rz, rr, stop, it = jax.lax.fori_loop(
+            0, chunk_iters, body, (x, r, p, rz, rr, stop0, it0)
         )
         x_out_ref[:] = x
         r_out_ref[:] = r
         p_out_ref[:] = p
         it_out_ref[0, 0] = it
         rz_out_ref[0, 0] = rz
+        stop_out_ref[0, 0] = stop.astype(_i32)
         rr_out_ref[0, 0] = rr
 
     return kernel
@@ -267,7 +365,7 @@ def fused_pcg(
     launch); the CG recurrence state is carried across launches."""
     nlevels = int(pre.alphas.shape[0])
     has_coarse = pre.cinv is not None
-    np_ = rhs2.shape[1]
+    dp, np_ = rhs2.shape
 
     rhs_norm2 = jnp.sum(rhs2 * rhs2)
     atol2 = (tol ** 2) * rhs_norm2
@@ -275,27 +373,32 @@ def fused_pcg(
     # restart period in whole chunks (>= 1)
     restart_chunks = max(1, restart_every // chunk_iters)
 
-    kernel = _make_kernel(nlevels, has_coarse, chunk_iters)
+    kernel = _make_kernel(nlevels, has_coarse, chunk_iters, dp)
 
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)  # noqa: E731
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
-    # VMEM operands: rhs, x, r, p, u, tdiag, tupper, tlower, binv (9)
-    # [+ alphas, gammas] [+ cinv, rmat]
-    in_specs = [smem()] * 5 + [vmem()] * (
-        9 + (2 if nlevels else 0) + (2 if has_coarse else 0)
+    # VMEM operands: rhs, x, r, p, u x dp, tdiag, tupper, tlower,
+    # binv (8 + dp) [+ alphas, gammas] [+ cinv, rmat]
+    in_specs = [smem()] * 6 + [vmem()] * (
+        8 + dp + (2 if nlevels else 0) + (2 if has_coarse else 0)
     )
     call = pl.pallas_call(
         kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((3, np_), _f32),   # x
-            jax.ShapeDtypeStruct((3, np_), _f32),   # r
-            jax.ShapeDtypeStruct((3, np_), _f32),   # p
+            jax.ShapeDtypeStruct((dp, np_), _f32),  # x
+            jax.ShapeDtypeStruct((dp, np_), _f32),  # r
+            jax.ShapeDtypeStruct((dp, np_), _f32),  # p
             jax.ShapeDtypeStruct((1, 1), _i32),     # it
             jax.ShapeDtypeStruct((1, 1), _f32),     # rz
+            jax.ShapeDtypeStruct((1, 1), _i32),     # stop (sticky breakdown)
             jax.ShapeDtypeStruct((1, 1), _f32),     # rr
         ),
         in_specs=in_specs,
-        out_specs=(vmem(), vmem(), vmem(), smem(), smem(), smem()),
+        out_specs=(vmem(), vmem(), vmem(), smem(), smem(), smem(),
+                   smem()),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT_BYTES,
+        ),
         interpret=_interpret(),
     )
 
@@ -307,17 +410,22 @@ def fused_pcg(
         extra = extra + (pre.cinv, pre.rmat)
 
     def cond(st):
-        return (st[-1] < n_chunks) & (st[5][0, 0] > atol2)
+        x, r, p, it, rz, stop, rr, k = st
+        return (
+            (k < n_chunks) & (rr[0, 0] > atol2) & (stop[0, 0] == 0)
+        )
 
     def body(st):
-        x, r, p, it, rz, rr, k = st
+        x, r, p, it, rz, stop, rr, k = st
         restart = ((k % restart_chunks) == 0).astype(_i32)
         args = (
-            atol2_s, maxit_s, jnp.reshape(restart, (1, 1)), it, rz,
-            rhs2, x, r, p, op.u, op.tdiag, op.tupper, op.tlower,
+            atol2_s, maxit_s, jnp.reshape(restart, (1, 1)), it, rz, stop,
+            rhs2, x, r, p,
+        ) + tuple(op.u[a] for a in range(dp)) + (
+            op.tdiag, op.tupper, op.tlower,
         ) + extra
-        x, r, p, it, rz, rr = call(*args)
-        return (x, r, p, it, rz, rr, k + 1)
+        x, r, p, it, rz, stop, rr = call(*args)
+        return (x, r, p, it, rz, stop, rr, k + 1)
 
     zeros = jnp.zeros_like(rhs2)
     st = jax.lax.while_loop(
@@ -327,13 +435,14 @@ def fused_pcg(
             zeros, zeros, zeros,
             jnp.zeros((1, 1), _i32),
             jnp.zeros((1, 1), _f32),
+            jnp.zeros((1, 1), _i32),
             jnp.full((1, 1), rhs_norm2, _f32),
             jnp.asarray(0, _i32),
         ),
     )
     return schur.PCGResult(
         x=st[0], iterations=st[3][0, 0],
-        residual_norm=jnp.sqrt(st[5][0, 0]),
+        residual_norm=jnp.sqrt(st[6][0, 0]),
     )
 
 
@@ -350,11 +459,18 @@ def build_fused_operator(
     atomicAdd, KernelSe2Point2.cu:122-154).
     """
     n, m = graph.num_poses, graph.num_landmarks
+    dp = d.hpp_diag.shape[-1]
+    dl = d.hll.shape[-1]
     aux = graph.plan.fused
-    el = schur._chol_small(hll_inv)                       # [M, 2, 2] lower
-    blk = bm.mm(d.hpl, el[graph.lm_edges.lm])             # [E, 3, 2]
+    # V = Hpl L^{-T} with hll = L L^T — factoring the SPD damped hll
+    # directly (clamped closed-form Cholesky + triangular inversion) is
+    # stable where chol(inv(hll)) NaNs on ill-conditioned BA blocks:
+    # V V^T = Hpl L^{-T} L^{-1} Hpl^T = Hpl Hll^{-1} Hlp exactly.
+    lh = _chol_spd(d.hll)                                 # [M, dl, dl]
+    el = jnp.swapaxes(_tri_inv_lower(lh), -1, -2)         # L^{-T} upper
+    blk = bm.mm(d.hpl, el[graph.lm_edges.lm])             # [E, dp, dl]
     tbl = graph.plan.lm_by_pose
-    grid = blk[tbl.idx] * tbl.mask[..., None, None]       # [Np, Kp, 3, 2]
+    grid = blk[tbl.idx] * tbl.mask[..., None, None]       # [Np, Kp, dp, dl]
     lmg = graph.lm_edges.lm[tbl.idx]                      # [Np, Kp]
     onehot = (
         (lmg[..., None] == jnp.arange(m, dtype=lmg.dtype)[None, None, :])
@@ -364,8 +480,8 @@ def build_fused_operator(
     z = jnp.einsum(
         "pkm,pkab->pmab", onehot, grid.astype(_f32),
         precision=jax.lax.Precision.HIGHEST,
-    )                                                     # [Np, M, 3, 2]
-    u = jnp.transpose(z, (2, 0, 1, 3)).reshape(3, n, 2 * m)
+    )                                                     # [Np, M, dp, dl]
+    u = jnp.transpose(z, (2, 0, 1, 3)).reshape(dp, n, dl * m)
 
     tdiag = d.hpp_diag
     c = aux.closure_e.shape[0]
@@ -374,14 +490,14 @@ def build_fused_operator(
         # hpp_off = -W); +chol(W) columns at rows i AND j give
         # (V V^T)[i,j] = +W, and the +W they add on the (i,i)/(j,j)
         # diagonals is compensated on T.
-        wcl = -d.hpp_off[aux.closure_e]                   # [C, 3, 3] PSD
+        wcl = -d.hpp_off[aux.closure_e]                   # [C, dp, dp] PSD
         lcl = jnp.linalg.cholesky(wcl)
         cid = jnp.arange(c)
-        ue = jnp.zeros((n, c, 3, 3), _f32)
+        ue = jnp.zeros((n, c, dp, dp), _f32)
         ue = ue.at[aux.closure_i, cid].add(lcl)
         ue = ue.at[aux.closure_j, cid].add(lcl)
         u = jnp.concatenate(
-            [u, jnp.transpose(ue, (2, 0, 1, 3)).reshape(3, n, 3 * c)],
+            [u, jnp.transpose(ue, (2, 0, 1, 3)).reshape(dp, n, dp * c)],
             axis=2,
         )
         extra = jax.ops.segment_sum(wcl, aux.closure_i, n)
@@ -412,6 +528,7 @@ def build_fused_precond(
     is Jacobi-equilibrated at build so the explicit inverse keeps its
     digits)."""
     n = graph.num_poses
+    dp = d.hpp_diag.shape[-1]
     local_kind, _, coarse_kind = precond.partition("+")
     if local_kind == "tridiag":
         upper = schur.chain_upper(d, graph.odom.i, graph.odom.j, n)
@@ -420,19 +537,19 @@ def build_fused_precond(
         gammas = jnp.transpose(pcr.gammas, (0, 2, 3, 1))
         binv = _planes(pcr.binv)
     else:  # jacobi
-        alphas = jnp.zeros((0, 3, 3, n), _f32)
+        alphas = jnp.zeros((0, dp, dp, n), _f32)
         gammas = alphas
         binv = _planes(schur.inv_blocks(s_diag))
     if coarse_kind == "coarse":
         chol = schur.build_coarse_precond(d, hll_inv, graph, coarse_group)
         dim = chol.shape[0]
-        nc = dim // 3
+        nc = dim // dp
         cinv = jax.scipy.linalg.cho_solve(
             (chol, True), jnp.eye(dim, dtype=chol.dtype)
         )
         # comp-major rows/cols (a*nc + c) -> [a, b, nc, nc] blocks
         cinv_b = jnp.transpose(
-            cinv.reshape(3, nc, 3, nc), (0, 2, 1, 3)
+            cinv.reshape(dp, nc, dp, nc), (0, 2, 1, 3)
         )
         rmat = (
             (jnp.arange(n) // coarse_group)[:, None]
@@ -454,21 +571,25 @@ def fused_supported(cfg, graph, axis_name) -> bool:
     local_kind, _, coarse_kind = cfg.pcg_precond.partition("+")
     if local_kind not in ("jacobi", "tridiag"):
         return False
+    dp, dl = (6, 3) if cfg.solver == "schur3d" else (3, 2)
     n, m = graph.num_poses, graph.num_landmarks
     c = aux.closure_e.shape[0]
-    if c and cfg.exact_odom_jacobians:
-        return False  # closure fold-in assumes the A=-I/B=I block structure
+    if c and (cfg.exact_odom_jacobians or dp != 3):
+        # the closure fold-in needs the 2D A=-I/B=I block structure
+        # (off-diagonal = -W PSD); SE(3) odometry blocks are general
+        return False
     if coarse_kind == "coarse" and n % cfg.pcg_coarse_group:
         return False
-    mw = 2 * m + 3 * c
+    mw = dl * m + dp * c
     nlevels = max(1, (n - 1).bit_length()) if local_kind == "tridiag" else 0
     nc = -(-n // cfg.pcg_coarse_group) if coarse_kind == "coarse" else 0
+    dd = dp * dp
     vmem = 4 * (
-        3 * n * mw                 # U slabs
-        + 4 * 9 * n                # T planes + binv
-        + 2 * nlevels * 9 * n      # PCR coefficient planes
-        + 9 * nc * nc + n * nc     # coarse inverse + restriction
-        + 8 * 3 * n                # state vectors + temps
+        dp * n * mw                # U slabs
+        + 4 * dd * n               # T planes + binv
+        + 2 * nlevels * dd * n     # PCR coefficient planes
+        + dd * nc * nc + n * nc    # coarse inverse + restriction
+        + 8 * dp * n               # state vectors + temps
     )
     return vmem <= VMEM_BUDGET_BYTES
 

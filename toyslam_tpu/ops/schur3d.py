@@ -162,6 +162,25 @@ def schur3d_linearize_solve(cfg: OptimizerConfig, axis_name: str | None = None):
             axis_name=axis_name,
             edge_backend=cfg.edge_backend,
         )
+        # Same trace-time fused-kernel dispatch as the 2D path: the fused
+        # operator/preconditioner builders read block sizes (6/3) off the
+        # arrays, the kernel is generated per dp.  SE(3) graphs with
+        # non-chain odometry fall back (general 6x6 off-diagonal blocks
+        # don't admit the chol(W) column fold-in).
+        from toyslam_tpu.ops import fused_pcg as fp
+
+        if fp.fused_supported(cfg, graph, axis_name):
+            dx_p, dx_l, stats = fp.fused_schur_solve(
+                sys, graph, lam, cfg.pcg_tol, cfg.pcg_max_iters,
+                cfg.pcg_precond, cfg.pcg_coarse_group,
+                cfg.pcg_fused_chunk, cfg.pcg_restart_every,
+            )
+            return dx_p, dx_l, sys.err, stats
+        if cfg.pcg_backend == "fused":
+            raise ValueError(
+                "pcg_backend='fused' but the graph/config does not support "
+                "the fused PCG kernel (see ops/fused_pcg.py::fused_supported)"
+            )
         dx_p, dx_l, stats = schur.schur_solve(
             sys, graph, lam, cfg.pcg_tol, cfg.pcg_max_iters, axis_name,
             cfg.pcg_restart_every, cfg.pcg_precond, cfg.pcg_coarse_group,
