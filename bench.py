@@ -84,6 +84,13 @@ def _rtt(jax, jnp, np) -> float:
 
 
 def worker():
+    # persistent compile cache: repeat runs (and the supervisor's retry
+    # attempt) skip the remote compile helper — the flakiest link on the
+    # remote-TPU platform (see scripts/_bootstrap.py)
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+    os.environ.setdefault(
+        "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1"
+    )
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -115,14 +122,22 @@ def worker():
     gt = np.asarray(sim.poses_gt)
     n_real = gt.shape[0]
 
+    def phase(msg):
+        # progress markers on stderr: the supervisor preserves the stderr
+        # file across a deadline kill, so a hang is attributable to a phase
+        print(f"[bench-worker] {msg}", file=sys.stderr, flush=True)
+
     gn = GaussNewton(cfg.optimizer)
     # host->device once: structure tables + arrays (the workload is repeated
     # optimization of a resident graph, as on the reference's server path)
+    phase("device_put")
     gdev = jax.device_put(gn._prepare(graph))
 
     # warmup / compile (np.asarray is the fence — see module docstring)
+    phase("compile+warmup")
     result = gn.optimize(gdev)
     est = np.asarray(result.graph.poses)[:n_real]
+    phase("warmup fetched")
     iters_run = int(result.iterations_run)
     base_rtt = _rtt(jax, jnp, np)
 
@@ -191,6 +206,17 @@ def worker():
 # ---------------------------------------------------------------------------
 
 
+def _tail_file(path: str, max_bytes: int = 2000) -> str:
+    try:
+        with open(path, "rb") as f:
+            f.seek(0, os.SEEK_END)
+            size = f.tell()
+            f.seek(max(0, size - max_bytes))
+            return f.read().decode(errors="replace")
+    except OSError:
+        return "<no stderr>"
+
+
 def _run_attempt(deadline_s: float, platform: str | None,
                  selftest_hang: bool):
     """One supervised worker run.  Returns (json_line | None, reason)."""
@@ -207,20 +233,33 @@ def _run_attempt(deadline_s: float, platform: str | None,
             env.setdefault("BENCH_REPS", "3")
             env.setdefault("BENCH_ROUNDS", "2")
     # own process group so a timeout kills exactly this child tree —
-    # never a kill-by-pattern
-    proc = subprocess.Popen(
-        cmd, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
-        env=env, start_new_session=True, text=True,
-    )
-    try:
-        out, err = proc.communicate(timeout=deadline_s)
-    except subprocess.TimeoutExpired:
+    # never a kill-by-pattern.  Child stderr goes to a FILE so the
+    # progress trace survives a deadline kill (a PIPE dies with the
+    # child and leaves no evidence of where the hang happened).
+    errpath = os.path.join(_REPO, f".bench_worker_{os.getpid()}.stderr")
+    with open(errpath, "w") as errf:
+        proc = subprocess.Popen(
+            cmd, stdout=subprocess.PIPE, stderr=errf,
+            env=env, start_new_session=True, text=True,
+        )
         try:
-            os.killpg(proc.pid, signal.SIGKILL)
-        except (ProcessLookupError, PermissionError):
-            proc.kill()
-        proc.wait()
-        return None, f"deadline exceeded ({deadline_s:.0f}s) — backend hang"
+            out, _ = proc.communicate(timeout=deadline_s)
+        except subprocess.TimeoutExpired:
+            try:
+                os.killpg(proc.pid, signal.SIGKILL)
+            except (ProcessLookupError, PermissionError):
+                proc.kill()
+            proc.wait()
+            tail = _tail_file(errpath)
+            return None, (
+                f"deadline exceeded ({deadline_s:.0f}s) — backend hang; "
+                f"last stderr: {tail[:200]}"
+            )
+    err = _tail_file(errpath, max_bytes=20000)
+    try:
+        os.unlink(errpath)
+    except OSError:
+        pass
     sys.stderr.write(err)
     for line in reversed(out.splitlines()):
         line = line.strip()
@@ -234,18 +273,53 @@ def _run_attempt(deadline_s: float, platform: str | None,
     return None, f"rc={proc.returncode}: {tail[:300]}"
 
 
+def _wait_backend_recovery(max_wait_s: float) -> bool:
+    """After a deadline kill, the remote-TPU backend stays wedged for a
+    while (observed: killing a client mid-RPC poisons the next client's
+    device_put/compile).  Probe with a tiny subprocess program until it
+    answers or the budget runs out — launching the retry into a wedged
+    backend just burns its whole deadline."""
+    probe = (
+        "import jax, jax.numpy as jnp, numpy as np;"
+        "print(float(np.asarray(jax.jit(lambda x: x + 1)"
+        "(jnp.zeros(1)))[0]))"
+    )
+    t0 = time.monotonic()
+    while time.monotonic() - t0 < max_wait_s:
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", probe],
+                timeout=45, capture_output=True,
+            )
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        time.sleep(20)
+    return False
+
+
 def supervise(selftest_hang: bool = False):
     deadline = float(os.environ.get("BENCH_DEADLINE_S", "600"))
     cpu_deadline = float(
         os.environ.get("BENCH_CPU_DEADLINE_S", max(deadline, 900.0))
     )
+    recover_s = float(os.environ.get("BENCH_RECOVER_S", "240"))
     attempts = [
         ("default", None, deadline),
         ("default-retry", None, deadline),
+        ("default-retry-2", None, deadline),
         ("cpu-fallback", "cpu", cpu_deadline),
     ]
     failures = []
     for name, platform, dl in attempts:
+        if failures and platform is None and not selftest_hang:
+            ok = _wait_backend_recovery(recover_s)
+            print(
+                f"# backend recovery probe before '{name}': "
+                f"{'ok' if ok else 'still wedged'}",
+                file=sys.stderr, flush=True,
+            )
         line, reason = _run_attempt(dl, platform, selftest_hang)
         if line is not None:
             if failures:

@@ -14,3 +14,11 @@ try:
     import toyslam_tpu  # noqa: F401
 except ImportError:
     sys.path.insert(0, REPO)
+
+# Persistent XLA compilation cache: on the remote-TPU ('axon') platform
+# every fresh process pays a remote compile (and the compile helper is the
+# flakiest link in the chain — observed multi-minute stalls); with the
+# disk cache a program compiles once per HLO and every later process loads
+# the serialized executable locally.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")

@@ -38,7 +38,7 @@ def test_forced_hang_still_emits_artifact():
     rec = _last_json_line(proc.stdout)
     assert rec["value"] is None
     assert rec["failed"] is True
-    assert len(rec["failures"]) == 3
+    assert len(rec["failures"]) == 4
     assert all("hang" in f["reason"] for f in rec["failures"])
     # the hung children were killed (no orphans holding the pipe open is
     # implied by communicate() returning; rc asserts the supervisor path)
@@ -58,6 +58,7 @@ def test_worker_crash_falls_back_and_labels_platform():
             # overrides JAX_PLATFORMS=cpu and runs the light CPU schedule
             "JAX_PLATFORMS": "no_such_platform",
             "BENCH_DEADLINE_S": "20",
+            "BENCH_RECOVER_S": "5",
             "BENCH_CPU_DEADLINE_S": "600",
         },
         timeout=900,
@@ -66,5 +67,5 @@ def test_worker_crash_falls_back_and_labels_platform():
     rec = _last_json_line(proc.stdout)
     assert rec["value"] is not None and rec["value"] > 0
     assert rec["platform"] == "cpu"
-    assert len(rec["tpu_failures"]) == 2
+    assert len(rec["tpu_failures"]) == 3
     assert rec["metric"].startswith("BA iterations/s")
