@@ -120,8 +120,12 @@ class OptimizerConfig:
     # (python/optimizer/edges2d.py:75-77, remote/graph/edge/EdgeSe2.h:35).
     # ``exact_odom_jacobians=True`` uses the true SE(2) Jacobians instead.
     exact_odom_jacobians: bool = False
-    # "dense"  — materialize H, Cholesky/LU solve (small graphs, MXU matmul)
-    # "schur"  — landmark elimination + PCG on the reduced pose system
+    # "dense"      — materialize H, Cholesky/LU solve (small graphs)
+    # "schur"      — landmark elimination + PCG on the reduced pose system
+    # "schur_grid" — the same math over dual-order grid storage
+    #                (ops/grid_schur.py): reductions are dense axis-sums,
+    #                chain odometry applies as shifts — the 10k-scale
+    #                latency path.  Single-device, chain-only odometry.
     solver: str = "dense"
     # dense linear solve: "cholesky" (fast, H is SPD) or "lu" (reference
     # parity: scipy.linalg.solve, graph_optimizer.py:64)
@@ -209,7 +213,7 @@ class OptimizerConfig:
                 f"pcg_precond={self.pcg_precond!r}: expected "
                 "'jacobi'|'tridiag'|'chunk' optionally suffixed '+coarse'"
             )
-        if self.solver not in ("dense", "schur", "schur3d"):
+        if self.solver not in ("dense", "schur", "schur_grid", "schur3d"):
             raise ValueError(f"unknown solver {self.solver!r}")
         if self.edge_backend not in ("xla", "pallas"):
             raise ValueError(f"unknown edge_backend {self.edge_backend!r}")

@@ -133,6 +133,10 @@ class GaussNewton:
                 from toyslam_tpu.ops.schur import schur_linearize_solve
 
                 solve = schur_linearize_solve(self.config)
+            elif self.config.solver == "schur_grid":
+                from toyslam_tpu.ops.grid_schur import grid_linearize_solve
+
+                solve = grid_linearize_solve(self.config)
             elif self.config.solver == "schur3d":
                 from toyslam_tpu.ops.schur3d import schur3d_linearize_solve
 
