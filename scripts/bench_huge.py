@@ -33,7 +33,7 @@ def main():
     )
     group = max(8, poses // 320)
     opt = OptimizerConfig(
-        iterations=15, lr=1.0, solver="schur",
+        iterations=15, lr=1.0, solver="schur_grid",
         exact_odom_jacobians=True, pcg_tol=1e-2,
         pcg_max_iters=15, pcg_restart_every=15,
         pcg_precond="tridiag+coarse", pcg_coarse_group=group,

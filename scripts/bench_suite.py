@@ -171,8 +171,11 @@ def main():
     graph, poses_gt, _ = synthetic.make_large_problem(
         num_poses=10_000, num_landmarks=10_000, obs_per_pose=6, seed=0,
     )
+    # solver="schur_grid": dual-order grid storage (ops/grid_schur.py) —
+    # measured 54.3 vs 37.4 GN-iter/s against the general path on this
+    # exact config at identical chi2/pcg trajectories (BENCH_GRID.json)
     opt = OptimizerConfig(
-        iterations=15, lr=1.0, solver="schur",
+        iterations=15, lr=1.0, solver="schur_grid",
         exact_odom_jacobians=True, pcg_tol=1e-2,
         pcg_max_iters=15, pcg_restart_every=15,
         pcg_precond="tridiag+coarse", pcg_coarse_group=32,

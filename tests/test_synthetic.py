@@ -151,3 +151,27 @@ def test_revisit_workload_ate_gate():
     # ATE regime (0.068 on multi-loop-1k), unreachable without revisits.
     assert ate0 > 5.0
     assert ate1 < 0.2, ate1
+
+
+def test_knn_cells_matches_brute():
+    """The cell-hash candidate search (used >20k landmarks) finds the same
+    K-nearest sets as the brute-force path."""
+    import numpy as np
+
+    from toyslam_tpu.sim.synthetic import _knn_obs_brute, _knn_obs_cells
+
+    rng = np.random.default_rng(3)
+    m = 2500
+    g = int(np.ceil(np.sqrt(m)))
+    lo = np.array([0.0, 0.0])
+    hi = np.array([100.0, 100.0])
+    gx, gy = np.meshgrid(np.linspace(0, 100, g), np.linspace(0, 100, g))
+    lms = np.stack([gx.ravel(), gy.ravel()], axis=1)[:m]
+    lms = lms + rng.normal(0, 0.3, lms.shape)
+    poses = rng.uniform(12, 88, size=(400, 2))
+
+    bp, bl = _knn_obs_brute(poses, lms, 6)
+    cp, cl = _knn_obs_cells(poses, lms, 6, lo, hi)
+    assert np.array_equal(bp, cp)
+    for t in range(400):
+        assert set(bl[t * 6 : t * 6 + 6]) == set(cl[t * 6 : t * 6 + 6]), t

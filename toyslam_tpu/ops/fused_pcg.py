@@ -594,6 +594,21 @@ def fused_supported(cfg, graph, axis_name) -> bool:
     return vmem <= VMEM_BUDGET_BYTES
 
 
+def fused_precond_from_graph(cfg, graph, lam) -> FusedPrecond:
+    """Assemble + build the fused preconditioner at (graph, lam) — the
+    init/refresh step of the stateful (pcg_precond_refresh != 1) path."""
+    sys = schur.assemble_blocks(
+        graph, huber_delta=cfg.huber_delta, fixed_prior=cfg.fixed_prior,
+        exact_odom_jacobians=cfg.exact_odom_jacobians,
+        edge_backend=cfg.edge_backend,
+    )
+    d = schur.damp(sys, lam)
+    hll_inv = schur.inv_blocks(d.hll)
+    s_diag = schur.schur_s_diag(d, hll_inv, graph)
+    return build_fused_precond(d, hll_inv, graph, s_diag,
+                               cfg.pcg_precond, cfg.pcg_coarse_group)
+
+
 def fused_schur_solve(
     sys: schur.BlockSystem,
     graph,
@@ -604,10 +619,13 @@ def fused_schur_solve(
     coarse_group: int,
     chunk_iters: int,
     restart_every: int = 64,
+    pre: FusedPrecond | None = None,
 ) -> tuple[jax.Array, jax.Array, schur.SolveStats]:
     """Drop-in replacement for ops/schur.py::schur_solve on supported
     configurations — same reduction math, same damping, same Huber
-    weighting, same back-substitution; only the PCG loop moves on-chip."""
+    weighting, same back-substitution; only the PCG loop moves on-chip.
+    A prebuilt ``pre`` (FusedPrecond) skips the preconditioner build —
+    the freeze/refresh path."""
     d = schur.damp(sys, lam)
     hll_inv = schur.inv_blocks(d.hll)
     rhs = -d.bp + schur.hpl_matvec(
@@ -615,9 +633,10 @@ def fused_schur_solve(
         bm.mv(hll_inv, d.bl), graph.num_poses, None, graph.plan,
     )
     op = build_fused_operator(d, hll_inv, graph)
-    s_diag = schur.schur_s_diag(d, hll_inv, graph)
-    pre = build_fused_precond(d, hll_inv, graph, s_diag, precond,
-                              coarse_group)
+    if pre is None:
+        s_diag = schur.schur_s_diag(d, hll_inv, graph)
+        pre = build_fused_precond(d, hll_inv, graph, s_diag, precond,
+                                  coarse_group)
     res = fused_pcg(op, pre, rhs.T, tol, max_iters, chunk_iters,
                     restart_every)
     dx_p = res.x.T

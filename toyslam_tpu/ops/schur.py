@@ -1054,7 +1054,11 @@ def schur_linearize_solve(cfg: OptimizerConfig, axis_name: str | None = None):
 
         return solve
 
-    def _build(graph: FactorGraph2D, lam: jax.Array) -> PrecondState:
+    def _build(graph: FactorGraph2D, lam: jax.Array):
+        from toyslam_tpu.ops import fused_pcg as fp
+
+        if fp.fused_supported(cfg, graph, None):
+            return fp.fused_precond_from_graph(cfg, graph, lam)
         sys = _assemble(graph)
         d = damp(sys, lam)
         hll_inv = inv_blocks(d.hll)
@@ -1069,6 +1073,8 @@ def schur_linearize_solve(cfg: OptimizerConfig, axis_name: str | None = None):
         return (_build(graph, lam0), jnp.asarray(0, jnp.int32))
 
     def solve_stateful(graph: FactorGraph2D, lam: jax.Array, state):
+        from toyslam_tpu.ops import fused_pcg as fp
+
         pstate, calls = state
         if refresh > 1:
             # Same-shape branches; single-device only, so no collectives
@@ -1081,6 +1087,20 @@ def schur_linearize_solve(cfg: OptimizerConfig, axis_name: str | None = None):
                 lambda: pstate,
             )
         sys = _assemble(graph)
+        if fp.fused_supported(cfg, graph, None):
+            # fused kernel with the carried (frozen/refreshed) precond
+            dx_p, dx_l, stats = fp.fused_schur_solve(
+                sys, graph, lam, cfg.pcg_tol, cfg.pcg_max_iters,
+                cfg.pcg_precond, cfg.pcg_coarse_group,
+                cfg.pcg_fused_chunk, cfg.pcg_restart_every, pre=pstate,
+            )
+            return dx_p, dx_l, sys.err, stats, (pstate, calls + 1)
+        if cfg.pcg_backend == "fused":
+            raise ValueError(
+                "pcg_backend='fused' but the graph/config does not "
+                "support the fused PCG kernel (see "
+                "ops/fused_pcg.py::fused_supported)"
+            )
         dx_p, dx_l, stats = schur_solve(
             sys, graph, lam, cfg.pcg_tol, cfg.pcg_max_iters, None,
             cfg.pcg_restart_every, cfg.pcg_precond, cfg.pcg_coarse_group,

@@ -66,6 +66,72 @@ def _relative_controls(poses: np.ndarray) -> np.ndarray:
     return out
 
 
+def _knn_obs_brute(pos_xy: np.ndarray, lms: np.ndarray, k: int):
+    """Exact K-nearest landmarks per pose, chunked to bound memory."""
+    num_poses = pos_xy.shape[0]
+    obs_pose, obs_lm = [], []
+    chunk = 512
+    for s in range(0, num_poses, chunk):
+        block = pos_xy[s : s + chunk]
+        d2 = (
+            np.sum(block**2, axis=1)[:, None]
+            - 2.0 * block @ lms.T
+            + np.sum(lms**2, axis=1)[None, :]
+        )
+        idx = np.argpartition(d2, k, axis=1)[:, :k]
+        obs_pose.append(np.repeat(np.arange(s, s + block.shape[0]), k))
+        obs_lm.append(idx.ravel())
+    return np.concatenate(obs_pose), np.concatenate(obs_lm)
+
+
+def _knn_obs_cells(pos_xy: np.ndarray, lms: np.ndarray, k: int, lo, hi):
+    """K-nearest via a landmark cell hash (5x5-cell candidate windows)."""
+    num_poses = pos_xy.shape[0]
+    m = lms.shape[0]
+    span = np.maximum(hi - lo, 1e-9)
+    # ~2 landmark spacings per cell => >= ~4 landmarks/cell on average
+    spacing = float(np.sqrt(span[0] * span[1] / m))
+    cell = 2.0 * spacing
+    nx = max(int(span[0] / cell) + 1, 1)
+    ny = max(int(span[1] / cell) + 1, 1)
+    cxy = np.clip(
+        ((lms - lo[None, :]) / cell).astype(np.int64), 0, [nx - 1, ny - 1]
+    )
+    key = cxy[:, 0] * ny + cxy[:, 1]
+    order = np.argsort(key, kind="stable")
+    skey = key[order]
+    counts = np.bincount(skey, minlength=nx * ny)
+    kc = int(counts.max())
+    table = np.full((nx * ny, kc), -1, np.int64)
+    starts = np.searchsorted(skey, np.arange(nx * ny))
+    slots = np.arange(m) - starts[skey]
+    table[skey, slots] = order
+    pc = np.clip(
+        ((pos_xy - lo[None, :]) / cell).astype(np.int64),
+        2, [nx - 3, ny - 3],
+    )
+    obs_pose, obs_lm = [], []
+    chunk = 4096
+    offs = [(dx, dy) for dx in range(-2, 3) for dy in range(-2, 3)]
+    big = np.float64(1e30)
+    for s in range(0, num_poses, chunk):
+        p = pos_xy[s : s + chunk]
+        c = pc[s : s + chunk]
+        cand = np.concatenate(
+            [table[(c[:, 0] + dx) * ny + (c[:, 1] + dy)]
+             for dx, dy in offs],
+            axis=1,
+        )                                           # [B, 25*kc]
+        valid = cand >= 0
+        safe = np.where(valid, cand, 0)
+        d2 = np.sum((lms[safe] - p[:, None, :]) ** 2, axis=2)
+        d2 = np.where(valid, d2, big)
+        idx = np.argpartition(d2, k, axis=1)[:, :k]
+        obs_pose.append(np.repeat(np.arange(s, s + p.shape[0]), k))
+        obs_lm.append(np.take_along_axis(safe, idx, axis=1).ravel())
+    return np.concatenate(obs_pose), np.concatenate(obs_lm)
+
+
 def make_large_problem(
     num_poses: int = 10_000,
     num_landmarks: int = 10_000,
@@ -144,23 +210,20 @@ def make_large_problem(
     lms_gt = np.stack([gx.ravel(), gy.ravel()], axis=1)[:num_landmarks]
     lms_gt = lms_gt + rng.normal(0, 0.3, lms_gt.shape)
 
-    # K nearest landmarks per pose (chunked to bound memory)
-    obs_pose, obs_lm = [], []
-    chunk = 512
-    for s in range(0, num_poses, chunk):
-        block = poses_gt[s : s + chunk, :2]
-        d2 = (
-            np.sum(block**2, axis=1)[:, None]
-            - 2.0 * block @ lms_gt.T
-            + np.sum(lms_gt**2, axis=1)[None, :]
+    # K nearest landmarks per pose
+    if num_landmarks > 20_000:
+        # cell-hash candidate search: brute force is O(P*M) distance rows
+        # (measured 35+ min host time at 100k x 100k); landmarks sit on a
+        # jittered grid, so a 5x5-cell window around each pose always
+        # contains the K nearest (cell size ~2 spacings >> jitter 0.3;
+        # verified against brute force in tests/test_synthetic.py)
+        obs_pose, obs_lm = _knn_obs_cells(
+            poses_gt[:, :2], lms_gt, obs_per_pose, lo, hi
         )
-        idx = np.argpartition(d2, obs_per_pose, axis=1)[:, :obs_per_pose]
-        obs_pose.append(
-            np.repeat(np.arange(s, s + block.shape[0]), obs_per_pose)
+    else:
+        obs_pose, obs_lm = _knn_obs_brute(
+            poses_gt[:, :2], lms_gt, obs_per_pose
         )
-        obs_lm.append(idx.ravel())
-    obs_pose = np.concatenate(obs_pose)
-    obs_lm = np.concatenate(obs_lm)
 
     # noisy measurements
     dp = lms_gt[obs_lm] - poses_gt[obs_pose, :2]
