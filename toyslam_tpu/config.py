@@ -219,6 +219,12 @@ class OptimizerConfig:
             raise ValueError(f"unknown edge_backend {self.edge_backend!r}")
         if self.pcg_backend not in ("auto", "fused", "xla"):
             raise ValueError(f"unknown pcg_backend {self.pcg_backend!r}")
+        if self.pcg_fused_chunk < 1:
+            # 0/negative would reach fused_pcg's ceil-division at trace
+            # time as a ZeroDivisionError instead of a config error
+            raise ValueError(
+                f"pcg_fused_chunk={self.pcg_fused_chunk}: must be >= 1"
+            )
 
 
 @dataclasses.dataclass(frozen=True)

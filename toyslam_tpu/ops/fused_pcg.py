@@ -35,9 +35,12 @@ unrolled shift-multiply levels (L=0 degenerates to block-Jacobi), and the
 additive Galerkin coarse correction as two small MXU products against a
 0/1 restriction matrix.  One ``pallas_call`` executes ``chunk_iters`` PCG
 iterations; an outer ``lax.while_loop`` re-launches chunks until
-convergence, recomputing the true residual at every chunk boundary — the
-same residual-replacement structure (and therefore the same numerics) as
-ops/schur.py::pcg with ``restart_every = chunk_iters``.
+convergence.  The TRUE residual ``rhs - S x`` is recomputed at every chunk
+end (one matvec per launch) and is what the outer loop's exit test reads —
+the kernel can never report convergence on a drifted f32 recurrence
+residual; every ``restart_every`` iterations it also REPLACES the
+recurrence residual and resets the search direction, the same
+replacement structure as ops/schur.py::pcg.
 
 Cost model: per-chunk launch overhead amortizes over ``chunk_iters``
 iterations; the per-iteration critical path is 2 MXU matvecs + O(30)
@@ -212,10 +215,10 @@ def _make_kernel(nlevels: int, has_coarse: bool, chunk_iters: int,
 
     def kernel(*refs):
         (atol2_ref, maxit_ref, restart_ref, it_ref, rz_ref, stop_ref,
-         rhs_ref, x_ref, r_ref, p_ref) = refs[:10]
-        u_refs = refs[10:10 + dp]
-        (td_ref, tu_ref, tl_ref) = refs[10 + dp:13 + dp]
-        rest = refs[13 + dp:]
+         rhs_ref, x_ref, r_ref, p_ref, rt_ref) = refs[:11]
+        u_refs = refs[11:11 + dp]
+        (td_ref, tu_ref, tl_ref) = refs[11 + dp:14 + dp]
+        rest = refs[14 + dp:]
         if nlevels:
             al_ref, ga_ref = rest[0], rest[1]
             rest = rest[2:]
@@ -226,8 +229,8 @@ def _make_kernel(nlevels: int, has_coarse: bool, chunk_iters: int,
         if has_coarse:
             cinv_ref, rmat_ref = rest[0], rest[1]
             rest = rest[2:]
-        (x_out_ref, r_out_ref, p_out_ref, it_out_ref, rz_out_ref,
-         stop_out_ref, rr_out_ref) = rest
+        (x_out_ref, r_out_ref, p_out_ref, rt_out_ref, it_out_ref,
+         rz_out_ref, stop_out_ref, rr_out_ref) = rest
 
         # Hoist EVERY ref read out of the iteration loop: the fori body is
         # unrolled by the Mosaic pipeline, and an in-body ``ref[:]`` read
@@ -291,15 +294,16 @@ def _make_kernel(nlevels: int, has_coarse: bool, chunk_iters: int,
 
         # chunk entry: when the restart flag is set (every
         # ``restart_every`` iterations, and always on the first chunk),
-        # recompute the true residual and reset the search direction —
-        # same replacement semantics as ops/schur.py::pcg chunk_body.
-        # Between restarts the (r, p, rz) recurrence state is carried
-        # across chunk launches so CG's direction history survives the
-        # convergence-check granularity.
+        # replace the recurrence residual with the TRUE residual computed
+        # at the END of the previous chunk (carried in via rt_ref; the
+        # first chunk's carry is rhs — the true residual at x=0) and reset
+        # the search direction — same replacement semantics as
+        # ops/schur.py::pcg chunk_body.  Between restarts the (r, p, rz)
+        # recurrence state is carried across chunk launches so CG's
+        # direction history survives the convergence-check granularity.
         x = x_ref[:]
         restart = restart_ref[0, 0] > 0
-        r_true = rhs_ref[:] - matvec(x)
-        r = jnp.where(restart, r_true, r_ref[:])
+        r = jnp.where(restart, rt_ref[:], r_ref[:])
         z = precond(r)
         rz_true = jnp.sum(r * z)
         p = jnp.where(restart, z, p_ref[:])
@@ -334,13 +338,22 @@ def _make_kernel(nlevels: int, has_coarse: bool, chunk_iters: int,
         x, r, p, rz, rr, stop, it = jax.lax.fori_loop(
             0, chunk_iters, body, (x, r, p, rz, rr, stop0, it0)
         )
+        # chunk exit: recompute the TRUE residual ``rhs - S x`` (one matvec
+        # per launch — the same count as the old entry-side replacement)
+        # and expose its norm as the convergence value: the outer
+        # while_loop therefore never exits on a drifted f32 recurrence
+        # residual (ADVICE r3 medium — observed on BA systems at cond~3e6:
+        # recurrence "converges" while the true residual stalls).  The
+        # vector itself carries to the next chunk's restart replacement.
+        r_true = rhs_ref[:] - matvec(x)
         x_out_ref[:] = x
         r_out_ref[:] = r
         p_out_ref[:] = p
+        rt_out_ref[:] = r_true
         it_out_ref[0, 0] = it
         rz_out_ref[0, 0] = rz
         stop_out_ref[0, 0] = stop.astype(_i32)
-        rr_out_ref[0, 0] = rr
+        rr_out_ref[0, 0] = jnp.sum(r_true * r_true)
 
     return kernel
 
@@ -377,10 +390,10 @@ def fused_pcg(
 
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)  # noqa: E731
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
-    # VMEM operands: rhs, x, r, p, u x dp, tdiag, tupper, tlower,
-    # binv (8 + dp) [+ alphas, gammas] [+ cinv, rmat]
+    # VMEM operands: rhs, x, r, p, r_true, u x dp, tdiag, tupper, tlower,
+    # binv (9 + dp) [+ alphas, gammas] [+ cinv, rmat]
     in_specs = [smem()] * 6 + [vmem()] * (
-        8 + dp + (2 if nlevels else 0) + (2 if has_coarse else 0)
+        9 + dp + (2 if nlevels else 0) + (2 if has_coarse else 0)
     )
     call = pl.pallas_call(
         kernel,
@@ -388,14 +401,15 @@ def fused_pcg(
             jax.ShapeDtypeStruct((dp, np_), _f32),  # x
             jax.ShapeDtypeStruct((dp, np_), _f32),  # r
             jax.ShapeDtypeStruct((dp, np_), _f32),  # p
+            jax.ShapeDtypeStruct((dp, np_), _f32),  # r_true at chunk end
             jax.ShapeDtypeStruct((1, 1), _i32),     # it
             jax.ShapeDtypeStruct((1, 1), _f32),     # rz
             jax.ShapeDtypeStruct((1, 1), _i32),     # stop (sticky breakdown)
-            jax.ShapeDtypeStruct((1, 1), _f32),     # rr
+            jax.ShapeDtypeStruct((1, 1), _f32),     # rr (TRUE residual^2)
         ),
         in_specs=in_specs,
-        out_specs=(vmem(), vmem(), vmem(), smem(), smem(), smem(),
-                   smem()),
+        out_specs=(vmem(), vmem(), vmem(), vmem(), smem(), smem(),
+                   smem(), smem()),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=VMEM_LIMIT_BYTES,
         ),
@@ -410,22 +424,22 @@ def fused_pcg(
         extra = extra + (pre.cinv, pre.rmat)
 
     def cond(st):
-        x, r, p, it, rz, stop, rr, k = st
+        x, r, p, rt, it, rz, stop, rr, k = st
         return (
             (k < n_chunks) & (rr[0, 0] > atol2) & (stop[0, 0] == 0)
         )
 
     def body(st):
-        x, r, p, it, rz, stop, rr, k = st
+        x, r, p, rt, it, rz, stop, rr, k = st
         restart = ((k % restart_chunks) == 0).astype(_i32)
         args = (
             atol2_s, maxit_s, jnp.reshape(restart, (1, 1)), it, rz, stop,
-            rhs2, x, r, p,
+            rhs2, x, r, p, rt,
         ) + tuple(op.u[a] for a in range(dp)) + (
             op.tdiag, op.tupper, op.tlower,
         ) + extra
-        x, r, p, it, rz, stop, rr = call(*args)
-        return (x, r, p, it, rz, stop, rr, k + 1)
+        x, r, p, rt, it, rz, stop, rr = call(*args)
+        return (x, r, p, rt, it, rz, stop, rr, k + 1)
 
     zeros = jnp.zeros_like(rhs2)
     st = jax.lax.while_loop(
@@ -433,6 +447,7 @@ def fused_pcg(
         body,
         (
             zeros, zeros, zeros,
+            rhs2,  # true residual at x=0
             jnp.zeros((1, 1), _i32),
             jnp.zeros((1, 1), _f32),
             jnp.zeros((1, 1), _i32),
@@ -441,8 +456,8 @@ def fused_pcg(
         ),
     )
     return schur.PCGResult(
-        x=st[0], iterations=st[3][0, 0],
-        residual_norm=jnp.sqrt(st[6][0, 0]),
+        x=st[0], iterations=st[4][0, 0],
+        residual_norm=jnp.sqrt(st[7][0, 0]),
     )
 
 

@@ -130,6 +130,12 @@ def build_grid_plan(graph: FactorGraph2D) -> GridPlan:
     C_info = np.zeros((n, 3, 3), np.float32)
     C_mask = np.zeros(n, np.float32)
     rows = oi[oreal]
+    if np.unique(rows).size != rows.size:
+        # positional storage holds ONE edge per (v, v+1) pair; a duplicate
+        # would be silently dropped (last write wins) where the general
+        # schur path segment-sums it — fail loudly like the non-chain check
+        raise ValueError("grid_schur requires at most one odometry edge "
+                         "per (v, v+1) pair")
     C_meas[rows] = np.asarray(graph.odom.meas)[oreal]
     C_info[rows] = np.asarray(graph.odom.info)[oreal]
     C_mask[rows] = 1.0
