@@ -84,6 +84,21 @@ def _rtt(jax, jnp, np) -> float:
 
 
 def worker():
+    # Deterministic fault injection for the supervisor tests: the worker
+    # itself honors the hook, so no environment quirk (e.g. a sitecustomize
+    # that force-registers a healthy TPU plugin and undoes JAX_PLATFORMS
+    # poisoning) can defuse it.  "exit" kills default-platform attempts at
+    # startup (the rc-death path); "hang" sleeps past any deadline (the
+    # hang path).  The supervisor's CPU fallback sets JAX_PLATFORMS=cpu,
+    # which disarms the hook — that attempt must produce the real
+    # fallback measurement.
+    force_fail = os.environ.get("BENCH_FORCE_FAIL")
+    if force_fail and os.environ.get("JAX_PLATFORMS") != "cpu":
+        print("[bench-worker] BENCH_FORCE_FAIL injected", file=sys.stderr,
+              flush=True)
+        if force_fail == "hang":
+            time.sleep(3600)
+        sys.exit(7)
     # persistent compile cache: repeat runs (and the supervisor's retry
     # attempt) skip the remote compile helper — the flakiest link on the
     # remote-TPU platform (see scripts/_bootstrap.py)
@@ -313,7 +328,10 @@ def supervise(selftest_hang: bool = False):
     ]
     failures = []
     for name, platform, dl in attempts:
-        if failures and platform is None and not selftest_hang:
+        if (
+            failures and platform is None and not selftest_hang
+            and not os.environ.get("BENCH_FORCE_FAIL")
+        ):
             ok = _wait_backend_recovery(recover_s)
             print(
                 f"# backend recovery probe before '{name}': "

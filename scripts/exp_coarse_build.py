@@ -48,27 +48,33 @@ def main():
 
     fs = grid_schur._flat_system(d, graph, gp)
     fv = grid_schur._FlatGraphView(graph, gp)
-    chol = jax.jit(lambda: schur.build_coarse_precond(
+    cb = jax.jit(lambda: schur.build_coarse_precond(
         fs, hll_inv, fv, cfg.pcg_coarse_group))
-    r["coarse_chol_ms"] = report("coarse build -> chol", chol) * 1e3
-    c = chol()
-    dim = c.shape[0]
+    r["coarse_build_ms"] = report(
+        "coarse build -> NS explicit inverse", cb) * 1e3
+    cinv = cb()
+    dim = cinv.shape[0]
     r["dim"] = dim
-    eye = jnp.eye(dim, dtype=c.dtype)
+    # primitive comparison on a same-size SPD matrix (band + gauge spike)
+    key = jax.random.PRNGKey(0)
+    g = jax.random.normal(key, (dim, dim)) * 0.1
+    sc = g @ g.T + jnp.eye(dim)
+    sc = sc.at[0, 0].add(1e6)
+    eye = jnp.eye(dim, dtype=sc.dtype)
+    r["chol_only_ms"] = report(
+        "jnp.linalg.cholesky(sc)", jax.jit(jnp.linalg.cholesky), sc) * 1e3
+    c = jnp.linalg.cholesky(sc)
     r["cho_solve_eye_ms"] = report(
         "cho_solve(chol, eye)",
         jax.jit(lambda cc: jax.scipy.linalg.cho_solve((cc, True), eye)),
         c) * 1e3
-    sc = c @ c.T
     r["linalg_inv_ms"] = report(
         "jnp.linalg.inv(sc)", jax.jit(jnp.linalg.inv), sc) * 1e3
-    r["chol_only_ms"] = report(
-        "jnp.linalg.cholesky(sc)", jax.jit(jnp.linalg.cholesky), sc) * 1e3
-    # one batched triangular solve for scale
-    r["tri_solve_ms"] = report(
-        "triangular_solve eye",
-        jax.jit(lambda cc: jax.scipy.linalg.solve_triangular(
-            cc, eye, lower=True)), c) * 1e3
+    r["spd_inverse_ms"] = report(
+        "spd_inverse (Newton-Schulz)", jax.jit(schur.spd_inverse), sc) * 1e3
+    x = schur.spd_inverse(sc)
+    resid = jnp.linalg.norm(x @ sc - eye) / (dim ** 0.5)
+    r["ns_resid"] = float(resid)
     print(json.dumps({k: (round(v, 3) if isinstance(v, float) else v)
                       for k, v in r.items()}))
 

@@ -155,6 +155,15 @@ class OptimizerConfig:
     #                       tridiag alone).
     pcg_precond: str = "tridiag"
     pcg_coarse_group: int = 64
+    # Partitioned (multi-device) solves only: the "+coarse" level is a
+    # THREE-level additive scheme there (parallel/partition.py) — the
+    # coarse system itself is never solved replicated (that replicated
+    # solve capped predicted scaling efficiency at 0.52, SCALING.json v2).
+    # ``pcg_coarse_group2`` = coarse groups per super-group: level 2 is
+    # batched dense inverses of super-group diagonal blocks of S_c (zero
+    # communication, work O(Nc/D) per device), level 3 a replicated
+    # Galerkin solve over the Nc/group2 super-groups (tiny).
+    pcg_coarse_group2: int = 4
     pcg_chunk: int = 64
     # How often the PCG preconditioner (tridiag PCR factors + coarse-grid
     # Cholesky) is rebuilt: 1 = every GN iteration (always exact);
@@ -219,6 +228,10 @@ class OptimizerConfig:
             raise ValueError(f"unknown edge_backend {self.edge_backend!r}")
         if self.pcg_backend not in ("auto", "fused", "xla"):
             raise ValueError(f"unknown pcg_backend {self.pcg_backend!r}")
+        if self.pcg_coarse_group2 < 1:
+            raise ValueError(
+                f"pcg_coarse_group2={self.pcg_coarse_group2}: must be >= 1"
+            )
         if self.pcg_fused_chunk < 1:
             # 0/negative would reach fused_pcg's ceil-division at trace
             # time as a ZeroDivisionError instead of a config error

@@ -538,10 +538,10 @@ def build_fused_precond(
     coarse_group: int,
 ) -> FusedPrecond:
     """Reuses the XLA preconditioner factorizations (ops/schur.py) and
-    re-lays them out for the kernel; the coarse Cholesky factor becomes an
-    explicit inverse (triangular solves don't exist in-kernel; the factor
-    is Jacobi-equilibrated at build so the explicit inverse keeps its
-    digits)."""
+    re-lays them out for the kernel; the coarse level arrives as the
+    explicit Jacobi-equilibrated Newton-Schulz inverse
+    (schur.build_coarse_precond -> spd_inverse — triangular solves don't
+    exist in-kernel, and TPU Cholesky is a sequential panel loop)."""
     n = graph.num_poses
     dp = d.hpp_diag.shape[-1]
     local_kind, _, coarse_kind = precond.partition("+")
@@ -556,12 +556,9 @@ def build_fused_precond(
         gammas = alphas
         binv = _planes(schur.inv_blocks(s_diag))
     if coarse_kind == "coarse":
-        chol = schur.build_coarse_precond(d, hll_inv, graph, coarse_group)
-        dim = chol.shape[0]
+        cinv = schur.build_coarse_precond(d, hll_inv, graph, coarse_group)
+        dim = cinv.shape[0]
         nc = dim // dp
-        cinv = jax.scipy.linalg.cho_solve(
-            (chol, True), jnp.eye(dim, dtype=chol.dtype)
-        )
         # comp-major rows/cols (a*nc + c) -> [a, b, nc, nc] blocks
         cinv_b = jnp.transpose(
             cinv.reshape(dp, nc, dp, nc), (0, 2, 1, 3)

@@ -324,9 +324,10 @@ def _build_precond(cfg, d, hll_inv, s_diag, graph, gp):
     """Returns a PYTREE ``(local, coarse)`` — it rides the GaussNewton
     while_loop carry on the refresh path, so no static fields; the kinds
     are re-read from cfg (static) at apply time.  ``coarse`` is the
-    explicit equilibrated inverse of the Galerkin coarse operator: the
-    APPLY becomes one [dim, dim] matvec per PCG iteration instead of two
-    TPU triangular solves (same trade as ops/fused_pcg.py)."""
+    explicit Jacobi-equilibrated Newton-Schulz inverse of the Galerkin
+    coarse operator (schur.spd_inverse): the APPLY is one [dim, dim]
+    matvec per PCG iteration instead of two TPU triangular solves (same
+    trade as ops/fused_pcg.py)."""
     local_kind, _, coarse_kind = cfg.pcg_precond.partition("+")
     upper = d.tupper * gp.C_mask[:, None, None]
     if local_kind == "tridiag":
@@ -337,13 +338,9 @@ def _build_precond(cfg, d, hll_inv, s_diag, graph, gp):
         local = schur.inv_blocks(s_diag)
     coarse = ()
     if coarse_kind == "coarse":
-        chol = schur.build_coarse_precond(
+        coarse = schur.build_coarse_precond(
             _flat_system(d, graph, gp), hll_inv,
             _FlatGraphView(graph, gp), cfg.pcg_coarse_group,
-        )
-        dim = chol.shape[0]
-        coarse = jax.scipy.linalg.cho_solve(
-            (chol, True), jnp.eye(dim, dtype=chol.dtype)
         )
     return (local, coarse)
 

@@ -27,9 +27,15 @@ remote/app/ConnectionHandler.h:14-37):
 SLAM graphs make this cheap: trajectories are chains and observations are
 local, so a contiguous keyframe cut crosses few edges (the multi-loop
 workload measures ~1-3% boundary at D=8).  Inner products psum scalars;
-chi^2 psums once per linearization; the Galerkin coarse-grid correction
-(the one intentionally-global object) is a tiny ``[3*Nc, 3*Nc]`` system
-assembled with one psum and replicated.
+chi^2 psums once per linearization; the Galerkin coarse level is a
+THREE-level hierarchy (``_coarse_build_partitioned``): each device
+assembles only its row block of the coarse system and inverts its own
+super-group diagonal blocks (zero-comm apply), and the only replicated
+object is the super-group re-aggregation ``[dp*Nc2, dp*Nc2]`` —
+O(Nc/group2), tiny — fed by one [Nc2, dp] psum per apply.  Round 3's
+replicated coarse Cholesky + per-iteration cho_solve capped predicted
+scaling efficiency at 0.52 (SCALING.json v2); no O(Nc)-sized replicated
+solve remains.
 
 Everything funnels through ``GaussNewton`` unchanged via the
 ``LinearizeSolve`` interface: ``partitioned_linearize_solve(cfg, mesh)``
@@ -544,51 +550,128 @@ def _s_diag_local(sys: _LocalSystem, hll_inv_ext, pl: PartitionPlan, nb):
     return sys.hpp_diag - jax.ops.segment_sum(contrib, pl.lm_p_loc, nb)
 
 
+def _eq_inv_dense(mat: jax.Array) -> jax.Array:
+    """Jacobi-equilibrated dense inverse (batched over leading dims) —
+    the 1e6 gauge prior otherwise costs the f32 inverse its digits."""
+    s = jax.lax.rsqrt(jnp.maximum(
+        jnp.diagonal(mat, axis1=-2, axis2=-1), 1e-30
+    ))
+    a = mat * s[..., :, None] * s[..., None, :]
+    inv = jnp.linalg.inv(a)
+    return inv * s[..., :, None] * s[..., None, :]
+
+
 def _coarse_build_partitioned(
     sys: _LocalSystem, hll_inv, hll_inv_bnd, pl: PartitionPlan,
-    nb, mb, group, n_dev, axis,
+    nb, mb, group, group2, n_dev, axis,
 ):
-    """Galerkin coarse operator over global pose groups, assembled from
-    local pieces with one tuple-psum; identical dense Cholesky factor on
-    every device (the coarse system is the one intentionally-replicated
-    object — ``[3*Nc, 3*Nc]``, tiny).
+    """Three-level SHARDED Galerkin coarse hierarchy.
 
-    Fill-term ownership: interior landmarks (all observers local) fold into
-    the device's own V V^T; boundary-landmark columns psum to completion
-    and each is counted once by its OWNER's V V^T (see mask algebra below).
-    Component-major layout follows schur.build_coarse_precond.
+    Round 3's coarse level assembled the full ``[dp*Nc, dp*Nc]`` Galerkin
+    system on EVERY device and Cholesky-solved it replicated, per PCG
+    iteration — the builder's own scaling decomposition (SCALING.json v2)
+    showed that replicated share capping predicted efficiency at 0.52 at
+    D=8.  Here the coarse system is never solved replicated; instead each
+    device assembles only ITS ROW BLOCK ``S_c[mine, :]`` (memory and work
+    O(Nc^2/D)) and the correction splits into
+
+      level 2 — batched dense inverses of the super-group diagonal blocks
+                of S_c (``group2`` coarse groups per super-group): apply is
+                a batched block matvec on device-local data, ZERO
+                communication, work O(Nc/D) per device;
+      level 3 — a Galerkin re-aggregation over super-groups: the
+                ``[dp*Nc2, dp*Nc2]`` system (Nc2 = Nc/group2, tiny) is the
+                only replicated object; its apply is one small matvec fed
+                by one [Nc2, dp]-sized psum.
+
+    Both levels are fixed SPD linear operators, so the additive 3-level
+    preconditioner keeps PCG's theory intact; the trade is a few extra PCG
+    iterations for removing every O(Nc)-or-larger replicated solve.
+
+    Row-block assembly notes:
+      * odometry (g_i row) terms and the transpose terms of locally-owned
+        g_j land directly in the local rows; CROSS-device transpose terms
+        ride a [Nc, Nc] grid psum restricted to cross edges (few — the
+        keyframe cut crosses ~1-3% of edges);
+      * landmark fill: interior landmarks (all observers local) contribute
+        ``V_int V_int^T`` locally; boundary-landmark U columns are
+        completed by one psum — INCLUDING the owner's own observations,
+        which round 3's build dropped (its tail columns only ever held
+        remote observers' contributions) — and each device then takes its
+        row slice of the exact ``V_bnd V_bnd^T`` product, so nothing is
+        owner-masked or double counted.
+
+    Returns ``(dinv [nc2b, g2*dp, g2*dp], c3inv [dp*Nc2, dp*Nc2])``.
+    Component-major ordering (row = a*width + position) throughout,
+    matching schur.build_coarse_precond.
     """
     dp = sys.hpp_diag.shape[-1]
     dl = hll_inv.shape[-1]
-    nc = (nb * n_dev) // group
+    ncb = nb // group
+    nc = ncb * n_dev
+    # largest divisor of ncb not exceeding group2 (static): keeps any
+    # ncb valid without host-side coordination
+    g2 = next(g for g in range(min(group2, ncb), 0, -1) if ncb % g == 0)
+    nc2b = ncb // g2
+    nc2 = nc2b * n_dev
     d = jax.lax.axis_index(axis)
-    gid_local = d * (nb // group) + jnp.arange(nb, dtype=jnp.int32) // group
+    row0 = d * ncb
 
-    # R^T Hpp R pieces (local scatter into the global [Nc*Nc] coarse grid)
-    hc = jax.ops.segment_sum(
-        sys.hpp_diag, gid_local * nc + gid_local, nc * nc
+    gid_local = jnp.arange(nb, dtype=jnp.int32) // group
+    g_glob = row0 + gid_local
+
+    # --- R^T Hpp R rows (block layout [ncb*nc, dp, dp]) ----------------
+    gi_l = pl.odom_gi - row0          # i-side pose is always owned
+    rows = jax.ops.segment_sum(
+        sys.hpp_diag, gid_local * nc + g_glob, ncb * nc
     )
-    hc = hc + jax.ops.segment_sum(
-        sys.hpp_off, pl.odom_gi * nc + pl.odom_gj, nc * nc
+    rows = rows + jax.ops.segment_sum(
+        sys.hpp_off, gi_l * nc + pl.odom_gj, ncb * nc
     )
-    hc = hc + jax.ops.segment_sum(
-        jnp.swapaxes(sys.hpp_off, -1, -2),
+    off_t = jnp.swapaxes(sys.hpp_off, -1, -2)
+    j_owned = (pl.odom_gj >= row0) & (pl.odom_gj < row0 + ncb)
+    rows = rows + jax.ops.segment_sum(
+        off_t * j_owned[:, None, None].astype(off_t.dtype),
+        jnp.where(j_owned, pl.odom_gj - row0, 0) * nc + pl.odom_gi,
+        ncb * nc,
+    )
+    # cross edges: the (g_j row, g_i col) transpose block belongs to a
+    # remote row — deliver through a global grid psum (zero except at the
+    # few cross pairs; padded edges carry zero blocks)
+    cross_grid = jax.ops.segment_sum(
+        off_t * (~j_owned)[:, None, None].astype(off_t.dtype),
         pl.odom_gj * nc + pl.odom_gi, nc * nc,
     )
 
-    # U = R^T Hpl columns over the LOCAL landmark space [Mb + Bl]:
-    # one [nc, mb+bl] plane per (pose-component a, lm-component b)
+    # --- landmark U planes over local columns [mb + Bl] ----------------
     vals = sys.hpl.reshape(-1, dp * dl)
-    ids = pl.lm_gp * (mb + pl.n_bl) + pl.lm_ext
+    gp_l = pl.lm_gp - row0            # observing pose is always owned
+    ids = gp_l * (mb + pl.n_bl) + pl.lm_ext
     planes = [
-        jax.ops.segment_sum(vals[:, k], ids, nc * (mb + pl.n_bl)).reshape(
-            nc, mb + pl.n_bl
-        )
+        jax.ops.segment_sum(
+            vals[:, k], ids, ncb * (mb + pl.n_bl)
+        ).reshape(ncb, mb + pl.n_bl)
         for k in range(dp * dl)
     ]
+    # boundary columns with GLOBAL rows: my local rows embedded at row0,
+    # PLUS the owner's own-column contributions scattered onto their
+    # registry slots so the psum'd column is complete
+    bnd_local = jnp.stack([p[:, mb:] for p in planes])   # [dp*dl, ncb, Bl]
+    own_cols = jnp.stack([
+        jax.ops.segment_sum(
+            (p[:, pl.own_bl_row] * pl.own_bl_mask[None, :]).T,
+            pl.own_bl_slot, pl.n_bl,
+        ).T
+        for p in planes
+    ])                                                    # [dp*dl, ncb, Bl]
+    bnd_embed = jnp.zeros((dp * dl, nc, pl.n_bl), bnd_local.dtype)
+    bnd_embed = jax.lax.dynamic_update_slice(
+        bnd_embed, bnd_local + own_cols, (0, row0, 0)
+    )
+    cross_grid, bnd_planes = jax.lax.psum((cross_grid, bnd_embed), axis)
 
-    el_own = schur._chol_small(hll_inv)          # [mb, dl, dl]
-    # interior columns: complete locally; count them here
+    # --- fill terms -----------------------------------------------------
+    el_own = schur._chol_small(hll_inv)                   # [mb, dl, dl]
     w_int = pl.lm_interior_mask[None, :]
     vf_int = jnp.concatenate([
         jnp.concatenate([
@@ -600,59 +683,107 @@ def _coarse_build_partitioned(
             for b2 in range(dl)
         ], axis=1)
         for a in range(dp)
-    ], axis=0)                                    # [dp*nc, dl*mb]
+    ], axis=0)                                    # [dp*ncb, dl*mb]
     fill_int = jnp.dot(vf_int, vf_int.T,
                        precision=jax.lax.Precision.HIGHEST)
 
-    # boundary columns: psum partial U columns to completion (batched with
-    # the hc psum below), then the OWNER of each registry slot counts it
-    bnd_planes = jnp.stack([p[:, mb:] for p in planes])  # [dp*dl, nc, Bl]
-    hc, bnd_planes = jax.lax.psum((hc, bnd_planes), axis)
-
-    el_bnd = schur._chol_small(hll_inv_bnd)      # [Bl, dl, dl]
-    own_slot_mask = jax.ops.segment_sum(
-        pl.own_bl_mask, pl.own_bl_slot, pl.n_bl
-    )                                             # 1 for slots this dev owns
-    wb = own_slot_mask[None, :]
-    vf_bnd = jnp.concatenate([
+    el_bnd = schur._chol_small(hll_inv_bnd)       # [Bl, dl, dl]
+    vf_bnd_all = jnp.concatenate([
         jnp.concatenate([
             sum(
-                bnd_planes[a * dl + b] * wb * el_bnd[:, b, b2][None, :]
+                bnd_planes[a * dl + b] * el_bnd[:, b, b2][None, :]
                 for b in range(dl)
             )
             for b2 in range(dl)
         ], axis=1)
         for a in range(dp)
     ], axis=0)                                    # [dp*nc, dl*Bl]
-    fill_bnd = jnp.dot(vf_bnd, vf_bnd.T,
+    vf_bnd_mine = jax.lax.dynamic_slice(
+        vf_bnd_all.reshape(dp, nc, -1), (0, row0, 0),
+        (dp, ncb, vf_bnd_all.shape[-1]),
+    ).reshape(dp * ncb, -1)
+    fill_bnd = jnp.dot(vf_bnd_mine, vf_bnd_all.T,
                        precision=jax.lax.Precision.HIGHEST)
 
-    sc = hc.reshape(nc, nc, dp, dp).transpose(2, 0, 3, 1).reshape(
-        dp * nc, dp * nc
+    # --- assemble the comp-major row block [dp, ncb, dp, nc] -----------
+    rows4 = rows.reshape(ncb, nc, dp, dp).transpose(2, 0, 3, 1)
+    cross_mine = jax.lax.dynamic_slice(
+        cross_grid.reshape(nc, nc, dp, dp), (row0, 0, 0, 0),
+        (ncb, nc, dp, dp),
+    ).transpose(2, 0, 3, 1)
+    rows4 = rows4 + cross_mine
+    rows4 = rows4 - fill_bnd.reshape(dp, ncb, dp, nc)
+    fill_int_embed = jnp.zeros_like(rows4)
+    fill_int_embed = jax.lax.dynamic_update_slice(
+        fill_int_embed, fill_int.reshape(dp, ncb, dp, ncb),
+        (0, 0, 0, row0),
     )
-    sc = sc - jax.lax.psum(fill_int + fill_bnd, axis)
-    didx = jnp.arange(sc.shape[0])
-    sc = sc.at[didx, didx].add(1e-4 * sc[didx, didx])
-    return jnp.linalg.cholesky(sc)
+    rows4 = rows4 - fill_int_embed
+
+    # --- level 2: super-group diagonal blocks, batched inverse ----------
+    diag4 = jax.lax.dynamic_slice(
+        rows4, (0, 0, 0, row0), (dp, ncb, dp, ncb)
+    )
+    d6 = diag4.reshape(dp, nc2b, g2, dp, nc2b, g2)
+    blocks = jnp.diagonal(d6, axis1=1, axis2=4)   # [dp, g2, dp, g2, nc2b]
+    blocks = blocks.transpose(4, 0, 1, 2, 3).reshape(
+        nc2b, dp * g2, dp * g2
+    )
+    bidx = jnp.arange(dp * g2)
+    blocks = blocks.at[:, bidx, bidx].add(
+        1e-4 * blocks[:, bidx, bidx]
+    )
+    dinv = _eq_inv_dense(blocks)
+
+    # --- level 3: super-group Galerkin, replicated but tiny -------------
+    r3 = rows4.reshape(dp, nc2b, g2, dp, nc).sum(axis=2)
+    r3 = r3.reshape(dp, nc2b, dp, nc2, g2).sum(axis=4)    # [dp,nc2b,dp,nc2]
+    c3 = jnp.zeros((dp, nc2, dp, nc2), r3.dtype)
+    c3 = jax.lax.dynamic_update_slice(c3, r3, (0, d * nc2b, 0, 0))
+    c3 = jax.lax.psum(c3, axis)
+    c3 = c3.reshape(dp * nc2, dp * nc2)
+    didx = jnp.arange(dp * nc2)
+    c3 = c3.at[didx, didx].add(1e-4 * c3[didx, didx])
+    c3inv = _eq_inv_dense(c3)
+    return dinv, c3inv
 
 
-def _coarse_apply_partitioned(chol, group, r, nb, n_dev, axis):
-    """``R S_c^{-1} R^T r`` on the sharded residual ``r [Nb, d]`` — one
-    tiny ``[Nc, d]`` psum to assemble the global coarse residual, then a
-    replicated solve and the local slice back."""
+def _coarse_apply_partitioned(pre, group, group2, r, nb, n_dev, axis):
+    """3-level coarse correction on the sharded residual ``r [Nb, dp]``:
+    level 2 is a zero-communication batched block matvec on owned
+    super-groups; level 3 psums one tiny ``[Nc2, dp]`` coarse residual and
+    applies the replicated ``[dp*Nc2]`` explicit inverse."""
+    dinv, c3inv = pre
     dp = r.shape[-1]
-    ngb = nb // group
-    nc = ngb * n_dev
+    ncb = nb // group
+    g2 = dinv.shape[-1] // dp
+    nc2b = ncb // g2
+    nc2 = nc2b * n_dev
     d = jax.lax.axis_index(axis)
-    rc_local = r.reshape(ngb, group, dp).sum(axis=1)      # [ngb, dp]
-    rc = jnp.zeros((nc, dp), r.dtype)
-    rc = jax.lax.dynamic_update_slice(rc, rc_local, (d * ngb, 0))
-    rc = jax.lax.psum(rc, axis)
-    zc = jax.scipy.linalg.cho_solve((chol, True), rc.T.reshape(-1))
-    z = zc.reshape(dp, nc).T                              # [nc, dp]
-    z_local = jax.lax.dynamic_slice(z, (d * ngb, 0), (ngb, dp))
+
+    rc = r.reshape(ncb, group, dp).sum(axis=1)            # [ncb, dp]
+    # level 2: comp-major within block (row = a*g2 + t)
+    rc2 = rc.reshape(nc2b, g2, dp).transpose(0, 2, 1).reshape(
+        nc2b, dp * g2
+    )
+    z2 = jnp.einsum("bij,bj->bi", dinv, rc2)
+    z2 = z2.reshape(nc2b, dp, g2).transpose(0, 2, 1).reshape(ncb, dp)
+
+    # level 3
+    rc3_local = rc.reshape(nc2b, g2, dp).sum(axis=1)      # [nc2b, dp]
+    rc3 = jnp.zeros((nc2, dp), r.dtype)
+    rc3 = jax.lax.dynamic_update_slice(rc3, rc3_local, (d * nc2b, 0))
+    rc3 = jax.lax.psum(rc3, axis)
+    zc3 = c3inv @ rc3.T.reshape(-1)
+    z3 = zc3.reshape(dp, nc2).T                           # [nc2, dp]
+    z3_local = jax.lax.dynamic_slice(z3, (d * nc2b, 0), (nc2b, dp))
+    z3_fine = jnp.broadcast_to(
+        z3_local.reshape(nc2b, 1, dp), (nc2b, g2, dp)
+    ).reshape(ncb, dp)
+
+    zc = z2 + z3_fine                                     # [ncb, dp]
     return jnp.broadcast_to(
-        z_local.reshape(ngb, 1, dp), (ngb, group, dp)
+        zc.reshape(ncb, 1, dp), (ncb, group, dp)
     ).reshape(nb, dp)
 
 
@@ -748,13 +879,14 @@ def partitioned_linearize_solve(
         local = _build_local_precond(cfg, d, s_diag, pl, nb, axis)
         local_apply = _local_precond_apply(cfg, local)
         if use_coarse:
-            chol_c = _coarse_build_partitioned(
+            pre_c = _coarse_build_partitioned(
                 d, hll_inv, hll_inv_bnd, pl, nb, mb,
-                cfg.pcg_coarse_group, n_dev, axis,
+                cfg.pcg_coarse_group, cfg.pcg_coarse_group2, n_dev, axis,
             )
             precond_apply = lambda r: local_apply(r) + (  # noqa: E731
                 _coarse_apply_partitioned(
-                    chol_c, cfg.pcg_coarse_group, r, nb, n_dev, axis
+                    pre_c, cfg.pcg_coarse_group, cfg.pcg_coarse_group2,
+                    r, nb, n_dev, axis,
                 )
             )
         else:
