@@ -1,0 +1,143 @@
+"""HBM-streamed banded fused PCG (ops/band_plan.py + fused_pcg band mode)
+vs the XLA Schur path — oracle equivalence on a scale-shaped workload.
+
+Marked slow: the interpreted Pallas kernel emulates the DMA stream on CPU.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from toyslam_tpu.config import OptimizerConfig
+from toyslam_tpu.ops import band_plan, fused_pcg, schur
+from toyslam_tpu.ops.gather_plan import attach_plan
+from toyslam_tpu.sim import synthetic
+
+pytestmark = pytest.mark.slow
+
+
+@pytest.fixture(scope="module")
+def big_graph():
+    graph, _, _ = synthetic.make_large_problem(
+        num_poses=2100, num_landmarks=1500, obs_per_pose=5, seed=4,
+        pose_bucket=64, landmark_bucket=64, edge_bucket=256,
+    )
+    return attach_plan(graph)
+
+
+def _cfg(**kw):
+    base = dict(
+        solver="schur", pcg_tol=1e-8, pcg_max_iters=400,
+        pcg_precond="tridiag", pcg_fused_chunk=8,
+    )
+    base.update(kw)
+    return OptimizerConfig(**base)
+
+
+def test_band_aux_attached_and_mode_selected(big_graph):
+    assert big_graph.plan.band is not None
+    cfg = _cfg()
+    assert fused_pcg.fused_mode(cfg, big_graph, None) == "band"
+    # small graphs keep the resident mode
+    from toyslam_tpu.sim import frontend
+    from toyslam_tpu.config import SimConfig, SlamConfig
+
+    scfg = SlamConfig(sim=SimConfig(robot_steps=60, seed=0))
+    sim = frontend.simulate(scfg.sim)
+    small, _ = frontend.build_graph(sim, scfg)
+    small = attach_plan(small)
+    assert fused_pcg.fused_mode(cfg, small, None) == "resident"
+
+
+def test_band_scatter_covers_every_edge(big_graph):
+    band = big_graph.plan.band
+    msk = np.asarray(big_graph.lm_edges.mask) > 0
+    covered = (np.asarray(band.band_mask) + np.asarray(band.wide_mask))[msk]
+    assert (covered == 1.0).all()
+
+
+@pytest.mark.parametrize("precond", ["tridiag+coarse", "jacobi+coarse"])
+def test_band_solve_matches_xla(big_graph, precond):
+    # plain tridiag/jacobi (no coarse) does not converge within the cap at
+    # this diameter; truncated iterates then differ between any two
+    # implementations, so only converging configs are equivalence-testable
+    cfg = _cfg(pcg_precond=precond, pcg_coarse_group=64)
+    assert fused_pcg.fused_mode(cfg, big_graph, None) == "band"
+    lam = jnp.asarray(1e-3, jnp.float32)
+
+    sys_b = schur.assemble_blocks(big_graph, cfg.huber_delta)
+    dx_p_b, dx_l_b, stats = fused_pcg.fused_schur_solve(
+        sys_b, big_graph, lam, cfg.pcg_tol, cfg.pcg_max_iters,
+        cfg.pcg_precond, cfg.pcg_coarse_group, cfg.pcg_fused_chunk,
+        cfg.pcg_restart_every, mode="band",
+    )
+
+    xcfg = dataclasses.replace(cfg, pcg_backend="xla")
+    dx_p_x, dx_l_x, _ = schur.schur_solve(
+        sys_b, big_graph, lam, cfg.pcg_tol, cfg.pcg_max_iters,
+        precond=cfg.pcg_precond, coarse_group=cfg.pcg_coarse_group,
+    )
+    ref = np.abs(np.asarray(dx_p_x)).max()
+    np.testing.assert_allclose(
+        np.asarray(dx_p_b), np.asarray(dx_p_x), atol=2e-4 * ref
+    )
+    np.testing.assert_allclose(
+        np.asarray(dx_l_b), np.asarray(dx_l_x),
+        atol=2e-4 * max(np.abs(np.asarray(dx_l_x)).max(), 1.0),
+    )
+    assert int(stats.pcg_iters) > 0
+
+
+def test_band_operator_matvec_oracle(big_graph):
+    """The streamed operator's matvec (via one solve iteration structure)
+    is exercised above; here check the TILE SCATTER itself reconstructs
+    V V^T x against dense per-edge math."""
+    lam = jnp.asarray(1e-3, jnp.float32)
+    sys_b = schur.assemble_blocks(big_graph, 1.5)
+    d = schur.damp(sys_b, lam)
+    hll_inv = schur.inv_blocks(d.hll)
+    op = fused_pcg.build_band_operator(d, hll_inv, big_graph)
+    band = big_graph.plan.band
+
+    n = big_graph.num_poses
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(n, 3)).astype(np.float32)
+
+    # oracle: w = Hpl Hll^-1 Hlp x via the schur legs
+    u = schur.hlp_matvec(d, big_graph.lm_edges.pose, big_graph.lm_edges.lm,
+                         jnp.asarray(x), big_graph.num_landmarks,
+                         None, big_graph.plan)
+    w_ref = schur.hpl_matvec(
+        d, big_graph.lm_edges.pose, big_graph.lm_edges.lm,
+        schur.inv_blocks(d.hll) @ u[..., None] if False else
+        jnp.einsum("mij,mj->mi", hll_inv, u),
+        n, None, big_graph.plan,
+    )
+
+    # band tiles + wide columns, evaluated host-side: t accumulates over
+    # ALL windows of a chunk before the w-pass (shared landmark columns)
+    tiles = np.asarray(op.tiles)               # [n_chunks, K, 3, Wrow, Bdl]
+    offs = np.asarray(op.win_off)              # [n_chunks, K]
+    w_row = band.w_row
+    xe = np.concatenate([x, np.zeros((w_row, 3), np.float32)], axis=0)
+    w_band = np.zeros((n + w_row, 3), np.float32)
+    for c in range(tiles.shape[0]):
+        t = 0.0
+        for k in range(tiles.shape[1]):
+            o = offs[c, k]
+            t = t + np.einsum("awc,wa->c", tiles[c, k], xe[o:o + w_row])
+        for k in range(tiles.shape[1]):
+            o = offs[c, k]
+            w_band[o:o + w_row] += np.einsum("awc,c->wa", tiles[c, k], t)
+    w_band = w_band[:n]
+    if op.u is not None:
+        ua = np.asarray(op.u)                      # [3, n, mw]
+        urow = np.einsum("anw,na->w", ua, x)
+        w_band = w_band + np.einsum("anw,w->na", ua, urow)
+    np.testing.assert_allclose(
+        w_band, np.asarray(w_ref),
+        atol=3e-3 * max(np.abs(np.asarray(w_ref)).max(), 1.0),
+    )

@@ -20,6 +20,12 @@ pytestmark = pytest.mark.slow
 
 def _run_supervisor(extra_args, env_overrides, timeout=120):
     env = dict(os.environ)
+    # the pytest conftest exports JAX_PLATFORMS=cpu for the fake mesh;
+    # leaking it into the supervisor's children would disarm the
+    # BENCH_FORCE_FAIL hook (it treats JAX_PLATFORMS=cpu as the fallback
+    # attempt) and change which platform the default attempts run on
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)
     env.update(env_overrides)
     return subprocess.run(
         [sys.executable, BENCH] + extra_args,

@@ -196,6 +196,11 @@ class OptimizerConfig:
     #   "fused" — require the fused kernel; raise if unsupported.
     #   "xla"   — always the XLA while_loop (the correctness oracle).
     pcg_backend: str = "auto"
+    # Measurement-harness knob (scripts/bench_scaling_phases.py): run the
+    # PCG loop as exactly pcg_max_iters trace-time-unrolled iterations
+    # (no while_loop, no early exit) so XLA cost_analysis can count
+    # per-iteration work.  Never set for production solves.
+    pcg_unroll: bool = False
     # PCG iterations per fused-kernel launch; also the true-residual
     # replacement period on the fused path (the XLA path keeps
     # pcg_restart_every).  Smaller = finer convergence-check granularity,

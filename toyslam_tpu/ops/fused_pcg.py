@@ -362,6 +362,332 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+class BandOperator(NamedTuple):
+    """The damped Schur operator in streamed banded form (large graphs).
+
+    ``tiles`` stays in HBM; one PCG matvec streams it once through a
+    double-buffered VMEM window and does two MXU dots per (chunk, window)
+    — the banded analogue of the VMEM-resident ``FusedOperator.u`` slabs.
+    Layout/semantics come from ops/band_plan.py.
+    """
+
+    tiles: jax.Array     # f32[n_chunks, K, dp, Wrow, B*dl] (HBM-resident)
+    win_off: jax.Array   # i32[n_chunks, K] window start pose (SMEM)
+    u: jax.Array | None  # f32[dp, Np, Mw] wide + closure full columns
+    tdiag: jax.Array     # f32[dp, dp, Np]
+    tupper: jax.Array
+    tlower: jax.Array
+
+
+def _make_band_kernel(nlevels: int, has_coarse: bool, chunk_iters: int,
+                      dp: int, n_bchunks: int, k_win: int, w_row: int,
+                      b_dl: int, mw: int):
+    """Chunk kernel for the banded/streamed operator.
+
+    Identical PCG control flow to ``_make_kernel``; only the ``V V^T``
+    leg differs — instead of resident U slabs it double-buffer-streams
+    the band tile stack from HBM, one base-CHUNK (all K windows of its
+    landmark columns) at a time:
+
+        t         = sum_{k,a} xw_{k,a} @ D[k,a]  ([1,Wrow] @ [Wrow,B*dl])
+        wacc[k,a] += t @ D[k,a]^T                (same resident tiles)
+
+    The t accumulation MUST span the whole chunk (all K windows) before
+    the w-pass: a landmark observed in several windows has ONE column
+    split across them, and applying per-window would drop the
+    V_k V_k'^T cross terms (this was a real bug caught by
+    tests/test_band_fused.py's scatter oracle).  ``xw`` is a dynamic
+    window row-slice of the zero-tail-padded state scratch; all tile
+    dims are (8, 128)-aligned by construction (ops/band_plan.py
+    restricts B*dl to multiples of 128).
+    """
+
+    def kernel(*refs):
+        (atol2_ref, maxit_ref, restart_ref, it_ref, rz_ref, stop_ref,
+         win_ref, rhs_ref, x_ref, r_ref, p_ref, rt_ref) = refs[:12]
+        idx = 12
+        u_refs = refs[idx:idx + (dp if mw else 0)]
+        idx += dp if mw else 0
+        (td_ref, tu_ref, tl_ref) = refs[idx:idx + 3]
+        idx += 3
+        rest = refs[idx:]
+        if nlevels:
+            al_ref, ga_ref = rest[0], rest[1]
+            rest = rest[2:]
+        else:
+            al_ref = ga_ref = None
+        binv_ref = rest[0]
+        rest = rest[1:]
+        if has_coarse:
+            cinv_ref, rmat_ref = rest[0], rest[1]
+            rest = rest[2:]
+        tiles_hbm = rest[0]
+        (x_out_ref, r_out_ref, p_out_ref, rt_out_ref, it_out_ref,
+         rz_out_ref, stop_out_ref, rr_out_ref) = rest[1:9]
+        (xext, wacc, buf, sem) = rest[9:]
+
+        np_ = x_ref.shape[1]
+
+        td = td_ref[:]
+        tu = tu_ref[:]
+        tl = tl_ref[:]
+        binv = binv_ref[:]
+        us = [r[:] for r in u_refs]
+        if nlevels:
+            als = [al_ref[l] for l in range(nlevels)]
+            gas = [ga_ref[l] for l in range(nlevels)]
+        if has_coarse:
+            rmat = rmat_ref[:]
+            cinvs = [
+                [cinv_ref[a, b] for b in range(dp)] for a in range(dp)
+            ]
+
+        def dma(slot, ti):
+            return pltpu.make_async_copy(
+                tiles_hbm.at[ti], buf.at[slot], sem.at[slot]
+            )
+
+        def matvec(x):
+            y = _bmv(td, x)
+            y = y + _bmv(tu, _shift(x, -1))
+            y = y + _bmv(tl, _shift(x, 1))
+            if mw:
+                urow = _dot(x[0:1, :], us[0], _DN_STD)
+                for a in range(1, dp):
+                    urow = urow + _dot(x[a:a + 1, :], us[a], _DN_STD)
+                y = y - jnp.concatenate(
+                    [_dot(urow, us[a], _DN_T) for a in range(dp)], axis=0
+                )
+            # banded leg: stream the tile stack once, chunk by chunk
+            xext[:, :np_] = x
+            xext[:, np_:] = jnp.zeros((dp, w_row), _f32)
+            wacc[:] = jnp.zeros((dp, np_ + w_row), _f32)
+            dma(0, 0).start()
+
+            def chunk_cond(c):
+                return c < n_bchunks
+
+            def chunk_body(c):
+                slot = jax.lax.rem(c, 2)
+
+                @pl.when(c + 1 < n_bchunks)
+                def _():
+                    dma(jax.lax.rem(c + 1, 2), c + 1).start()
+
+                dma(slot, c).wait()
+                # t-pass over ALL windows of the chunk (shared columns);
+                # window anchors are 128-aligned by construction
+                # (band_plan quantizes) — the hint lets Mosaic vectorize
+                # the dynamic lane slice
+                t = None
+                for k in range(k_win):
+                    off = pl.multiple_of(win_ref[c, k], 128)
+                    for a in range(dp):
+                        d_ = _dot(
+                            xext[a:a + 1, pl.ds(off, w_row)],
+                            buf[slot, k, a], _DN_STD,
+                        )
+                        t = d_ if t is None else t + d_
+                # w-pass with the completed chunk t
+                for k in range(k_win):
+                    off = pl.multiple_of(win_ref[c, k], 128)
+                    for a in range(dp):
+                        wacc[a:a + 1, pl.ds(off, w_row)] += _dot(
+                            t, buf[slot, k, a], _DN_T
+                        )
+                return c + 1
+
+            # while_loop, NOT fori_loop: Mosaic fully unrolls static-trip
+            # fori bodies, and an unrolled 160-chunk DMA loop gets fresh
+            # value slots per trip — measured 263 MB of register-allocator
+            # spill slots (vmem OOM) at the 10k config, independent of
+            # chunk_iters.  A while body compiles once.
+            jax.lax.while_loop(chunk_cond, chunk_body,
+                               jnp.asarray(0, _i32))
+            return y - wacc[:, :np_]
+
+        def precond(r):
+            t = r
+            s = 1
+            for l in range(nlevels):
+                t = (
+                    t
+                    + _bmv(als[l], _shift(t, s))
+                    + _bmv(gas[l], _shift(t, -s))
+                )
+                s *= 2
+            z = _bmv(binv, t)
+            if has_coarse:
+                rc = [_dot(r[b:b + 1, :], rmat, _DN_STD)
+                      for b in range(dp)]
+                rows = []
+                for a in range(dp):
+                    za = rc[0] * 0.0
+                    for b in range(dp):
+                        za = za + _dot(rc[b], cinvs[a][b], _DN_T)
+                    rows.append(_dot(za, rmat, _DN_T))
+                z = z + jnp.concatenate(rows, axis=0)
+            return z
+
+        atol2 = atol2_ref[0, 0]
+        maxit = maxit_ref[0, 0]
+        it0 = it_ref[0, 0]
+        x = x_ref[:]
+        restart = restart_ref[0, 0] > 0
+        r = jnp.where(restart, rt_ref[:], r_ref[:])
+        z = precond(r)
+        rz_true = jnp.sum(r * z)
+        p = jnp.where(restart, z, p_ref[:])
+        rz = jnp.where(restart, rz_true, rz_ref[0, 0])
+        rr = jnp.sum(r * r)
+        stop0 = stop_ref[0, 0] > 0
+
+        def body(_, carry):
+            x, r, p, rz, rr, stop, it = carry
+            ap = matvec(p)
+            pap = jnp.sum(p * ap)
+            breakdown = ~(pap > 0.0) | ~jnp.isfinite(pap)
+            stop = stop | breakdown
+            done = stop | (rr <= atol2) | (it >= maxit)
+            alpha = jnp.where(done, 0.0, rz / jnp.where(done, 1.0, pap))
+            x = x + alpha * p
+            r = r - alpha * ap
+            z = precond(r)
+            rz_new = jnp.sum(r * z)
+            rr = jnp.sum(r * r)
+            safe_rz = jnp.where(rz == 0.0, 1.0, rz)
+            beta = jnp.where(done, 0.0, rz_new / safe_rz)
+            p = jnp.where(done, p, z + beta * p)
+            rz = jnp.where(done, rz, rz_new)
+            it = it + jnp.where(done, 0, 1)
+            return (x, r, p, rz, rr, stop, it)
+
+        x, r, p, rz, rr, stop, it = jax.lax.fori_loop(
+            0, chunk_iters, body, (x, r, p, rz, rr, stop0, it0)
+        )
+        r_true = rhs_ref[:] - matvec(x)
+        x_out_ref[:] = x
+        r_out_ref[:] = r
+        p_out_ref[:] = p
+        rt_out_ref[:] = r_true
+        it_out_ref[0, 0] = it
+        rz_out_ref[0, 0] = rz
+        stop_out_ref[0, 0] = stop.astype(_i32)
+        rr_out_ref[0, 0] = jnp.sum(r_true * r_true)
+
+    return kernel
+
+
+def band_fused_pcg(
+    op: BandOperator,
+    pre: FusedPrecond,
+    rhs2: jax.Array,          # f32[dp, Np]
+    tol: float,
+    max_iters: int,
+    chunk_iters: int,
+    restart_every: int = 64,
+) -> schur.PCGResult:
+    """fused_pcg over the streamed banded operator — same chunked
+    while_loop/true-residual-exit semantics."""
+    nlevels = int(pre.alphas.shape[0])
+    has_coarse = pre.cinv is not None
+    dp, np_ = rhs2.shape
+    n_bchunks, k_win, _, w_row, b_dl = op.tiles.shape
+    mw = 0 if op.u is None else op.u.shape[2]
+
+    rhs_norm2 = jnp.sum(rhs2 * rhs2)
+    atol2 = (tol ** 2) * rhs_norm2
+    n_chunks = -(-max_iters // chunk_iters)
+    restart_chunks = max(1, restart_every // chunk_iters)
+
+    kernel = _make_band_kernel(
+        nlevels, has_coarse, chunk_iters, dp, n_bchunks, k_win, w_row,
+        b_dl, mw,
+    )
+
+    smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)  # noqa: E731
+    vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
+    in_specs = (
+        [smem()] * 6 + [smem()]            # scalars + win_off
+        + [vmem()] * (5 + (dp if mw else 0) + 3)
+        + ([vmem()] * 2 if nlevels else [])
+        + [vmem()]
+        + ([vmem()] * 2 if has_coarse else [])
+        + [pl.BlockSpec(memory_space=pltpu.HBM)]   # tiles stay in HBM
+    )
+    call = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((dp, np_), _f32),  # x
+            jax.ShapeDtypeStruct((dp, np_), _f32),  # r
+            jax.ShapeDtypeStruct((dp, np_), _f32),  # p
+            jax.ShapeDtypeStruct((dp, np_), _f32),  # r_true
+            jax.ShapeDtypeStruct((1, 1), _i32),     # it
+            jax.ShapeDtypeStruct((1, 1), _f32),     # rz
+            jax.ShapeDtypeStruct((1, 1), _i32),     # stop
+            jax.ShapeDtypeStruct((1, 1), _f32),     # rr (true)
+        ),
+        in_specs=in_specs,
+        out_specs=(vmem(), vmem(), vmem(), vmem(), smem(), smem(),
+                   smem(), smem()),
+        scratch_shapes=[
+            pltpu.VMEM((dp, np_ + w_row), _f32),            # xext
+            pltpu.VMEM((dp, np_ + w_row), _f32),            # wacc
+            pltpu.VMEM((2, k_win, dp, w_row, b_dl), _f32),  # tile buffers
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT_BYTES,
+        ),
+        interpret=_interpret(),
+    )
+
+    atol2_s = jnp.reshape(atol2, (1, 1)).astype(_f32)
+    maxit_s = jnp.full((1, 1), max_iters, _i32)
+    pcr = (pre.alphas, pre.gammas) if nlevels else ()
+    extra = pcr + (pre.binv,)
+    if has_coarse:
+        extra = extra + (pre.cinv, pre.rmat)
+    u_args = tuple(op.u[a] for a in range(dp)) if mw else ()
+
+    def cond(st):
+        x, r, p, rt, it, rz, stop, rr, k = st
+        return (
+            (k < n_chunks) & (rr[0, 0] > atol2) & (stop[0, 0] == 0)
+        )
+
+    def body(st):
+        x, r, p, rt, it, rz, stop, rr, k = st
+        restart = ((k % restart_chunks) == 0).astype(_i32)
+        args = (
+            atol2_s, maxit_s, jnp.reshape(restart, (1, 1)), it, rz, stop,
+            op.win_off, rhs2, x, r, p, rt,
+        ) + u_args + (
+            op.tdiag, op.tupper, op.tlower,
+        ) + extra + (op.tiles,)
+        x, r, p, rt, it, rz, stop, rr = call(*args)
+        return (x, r, p, rt, it, rz, stop, rr, k + 1)
+
+    zeros = jnp.zeros_like(rhs2)
+    st = jax.lax.while_loop(
+        cond,
+        body,
+        (
+            zeros, zeros, zeros,
+            rhs2,
+            jnp.zeros((1, 1), _i32),
+            jnp.zeros((1, 1), _f32),
+            jnp.zeros((1, 1), _i32),
+            jnp.full((1, 1), rhs_norm2, _f32),
+            jnp.asarray(0, _i32),
+        ),
+    )
+    return schur.PCGResult(
+        x=st[0], iterations=st[4][0, 0],
+        residual_norm=jnp.sqrt(st[7][0, 0]),
+    )
+
+
 def fused_pcg(
     op: FusedOperator,
     pre: FusedPrecond,
@@ -461,6 +787,86 @@ def fused_pcg(
     )
 
 
+def _closure_columns(d: schur.BlockSystem, aux, n: int, dp: int):
+    """Loop-closure odometry as full-height +chol(W) column pairs, plus
+    the +W diagonal compensation on T (see build_fused_operator)."""
+    c = aux.closure_e.shape[0]
+    if not c:
+        return None, None
+    wcl = -d.hpp_off[aux.closure_e]                   # [C, dp, dp] PSD
+    lcl = jnp.linalg.cholesky(wcl)
+    cid = jnp.arange(c)
+    ue = jnp.zeros((n, c, dp, dp), _f32)
+    ue = ue.at[aux.closure_i, cid].add(lcl)
+    ue = ue.at[aux.closure_j, cid].add(lcl)
+    ucols = jnp.transpose(ue, (2, 0, 1, 3)).reshape(dp, n, dp * c)
+    extra = jax.ops.segment_sum(wcl, aux.closure_i, n)
+    extra = extra + jax.ops.segment_sum(wcl, aux.closure_j, n)
+    return ucols, extra
+
+
+def build_band_operator(
+    d: schur.BlockSystem, hll_inv: jax.Array, graph
+) -> BandOperator:
+    """Materialize the streamed banded operator (ops/band_plan.py layout).
+
+    The per-edge low-rank blocks ``Hpl L^{-T}`` scatter into the
+    [n_chunks*K, dp, Wrow, B*dl] tile stack with ONE precomputed-index
+    segment-sum; wide landmarks and loop closures become full-height
+    columns exactly like the resident path's U slabs."""
+    n = graph.num_poses
+    dp = d.hpp_diag.shape[-1]
+    dl = d.hll.shape[-1]
+    band = graph.plan.band
+    aux = graph.plan.fused
+    w_row, b_dl = band.w_row, band.chunk_b * dl
+    n_tiles = band.n_chunks * band.k_windows
+
+    lh = _chol_spd(d.hll)
+    el = jnp.swapaxes(_tri_inv_lower(lh), -1, -2)          # L^{-T}
+    blk = bm.mm(d.hpl, el[graph.lm_edges.lm])              # [E, dp, dl]
+
+    stride_a = w_row * b_dl
+    offs = jnp.asarray(
+        [a * stride_a + b for a in range(dp) for b in range(dl)], _i32
+    )
+    ids = (band.scatter_base[:, None] + offs[None, :]).reshape(-1)
+    vals = (blk * band.band_mask[:, None, None]).reshape(-1)
+    flat = jax.ops.segment_sum(vals, ids, n_tiles * dp * stride_a)
+    tiles = flat.reshape(
+        band.n_chunks, band.k_windows, dp, w_row, b_dl
+    )
+
+    ucols = []
+    if band.n_wide:
+        nw = band.n_wide
+        wvals = blk * band.wide_mask[:, None, None]
+        wid = graph.lm_edges.pose * nw + band.wide_idx
+        uw = jax.ops.segment_sum(wvals, wid, n * nw)       # [n*nw, dp, dl]
+        ucols.append(
+            uw.reshape(n, nw, dp, dl).transpose(2, 0, 1, 3).reshape(
+                dp, n, nw * dl
+            )
+        )
+    tdiag = d.hpp_diag
+    ccols, extra = _closure_columns(d, aux, n, dp)
+    if ccols is not None:
+        ucols.append(ccols)
+        tdiag = tdiag + extra
+    u = jnp.concatenate(ucols, axis=2) if ucols else None
+
+    upper = schur.chain_upper(d, graph.odom.i, graph.odom.j, n)
+    lower = jnp.swapaxes(schur._shift_down(upper, 1), -1, -2)
+    return BandOperator(
+        tiles=tiles,
+        win_off=band.win_off,
+        u=u,
+        tdiag=_planes(tdiag),
+        tupper=_planes(upper),
+        tlower=_planes(lower),
+    )
+
+
 def build_fused_operator(
     d: schur.BlockSystem, hll_inv: jax.Array, graph
 ) -> FusedOperator:
@@ -499,24 +905,13 @@ def build_fused_operator(
     u = jnp.transpose(z, (2, 0, 1, 3)).reshape(dp, n, dl * m)
 
     tdiag = d.hpp_diag
-    c = aux.closure_e.shape[0]
-    if c:
-        # loop-closure odometry: S[i,j] must be -W (A=-I/B=I structure,
-        # hpp_off = -W); +chol(W) columns at rows i AND j give
-        # (V V^T)[i,j] = +W, and the +W they add on the (i,i)/(j,j)
-        # diagonals is compensated on T.
-        wcl = -d.hpp_off[aux.closure_e]                   # [C, dp, dp] PSD
-        lcl = jnp.linalg.cholesky(wcl)
-        cid = jnp.arange(c)
-        ue = jnp.zeros((n, c, dp, dp), _f32)
-        ue = ue.at[aux.closure_i, cid].add(lcl)
-        ue = ue.at[aux.closure_j, cid].add(lcl)
-        u = jnp.concatenate(
-            [u, jnp.transpose(ue, (2, 0, 1, 3)).reshape(dp, n, dp * c)],
-            axis=2,
-        )
-        extra = jax.ops.segment_sum(wcl, aux.closure_i, n)
-        extra = extra + jax.ops.segment_sum(wcl, aux.closure_j, n)
+    # loop-closure odometry: S[i,j] must be -W (A=-I/B=I structure,
+    # hpp_off = -W); +chol(W) columns at rows i AND j give
+    # (V V^T)[i,j] = +W, and the +W they add on the (i,i)/(j,j)
+    # diagonals is compensated on T.
+    ccols, extra = _closure_columns(d, aux, n, dp)
+    if ccols is not None:
+        u = jnp.concatenate([u, ccols], axis=2)
         tdiag = tdiag + extra
 
     upper = schur.chain_upper(d, graph.odom.i, graph.odom.j, n)
@@ -571,39 +966,64 @@ def build_fused_precond(
     return FusedPrecond(alphas, gammas, binv, None, None)
 
 
-def fused_supported(cfg, graph, axis_name) -> bool:
-    """Trace-time static gate: shapes, config, and plan.fused presence only."""
+def fused_mode(cfg, graph, axis_name) -> str | None:
+    """Trace-time static gate: shapes, config, and plan aux presence only.
+
+    Returns "resident" (whole V in VMEM — small graphs), "band" (streamed
+    banded tiles, ops/band_plan.py — large graphs with run-local
+    observations), or None (XLA fallback)."""
     if getattr(cfg, "pcg_backend", "auto") == "xla":
-        return False
+        return None
+    if getattr(cfg, "pcg_unroll", False):
+        return None
     if axis_name is not None or graph.plan is None:
-        return False
+        return None
     aux = getattr(graph.plan, "fused", None)
     if aux is None:
-        return False
+        return None
     local_kind, _, coarse_kind = cfg.pcg_precond.partition("+")
     if local_kind not in ("jacobi", "tridiag"):
-        return False
+        return None
     dp, dl = (6, 3) if cfg.solver == "schur3d" else (3, 2)
     n, m = graph.num_poses, graph.num_landmarks
     c = aux.closure_e.shape[0]
     if c and (cfg.exact_odom_jacobians or dp != 3):
         # the closure fold-in needs the 2D A=-I/B=I block structure
         # (off-diagonal = -W PSD); SE(3) odometry blocks are general
-        return False
+        return None
     if coarse_kind == "coarse" and n % cfg.pcg_coarse_group:
-        return False
-    mw = dl * m + dp * c
+        return None
     nlevels = max(1, (n - 1).bit_length()) if local_kind == "tridiag" else 0
     nc = -(-n // cfg.pcg_coarse_group) if coarse_kind == "coarse" else 0
     dd = dp * dp
-    vmem = 4 * (
-        dp * n * mw                # U slabs
-        + 4 * dd * n               # T planes + binv
+    shared = (
+        4 * dd * n                 # T planes + binv
         + 2 * nlevels * dd * n     # PCR coefficient planes
         + dd * nc * nc + n * nc    # coarse inverse + restriction
         + 8 * dp * n               # state vectors + temps
     )
-    return vmem <= VMEM_BUDGET_BYTES
+    mw = dl * m + dp * c
+    if 4 * (dp * n * mw + shared) <= VMEM_BUDGET_BYTES:
+        return "resident"
+    band = getattr(graph.plan, "band", None)
+    if band is None or dp != 3:
+        return None
+    mwb = band.n_wide * dl + dp * c
+    b_dl = band.chunk_b * dl
+    band_vmem = 4 * (
+        dp * n * mwb                                 # wide+closure columns
+        + 2 * band.k_windows * dp * band.w_row * b_dl  # 2x chunk buffers
+        + 2 * dp * (n + band.w_row)                  # xext + wacc scratch
+        + shared
+    )
+    if band_vmem <= 2 * VMEM_BUDGET_BYTES:
+        return "band"
+    return None
+
+
+def fused_supported(cfg, graph, axis_name) -> bool:
+    """Back-compat boolean over :func:`fused_mode`."""
+    return fused_mode(cfg, graph, axis_name) is not None
 
 
 def fused_precond_from_graph(cfg, graph, lam) -> FusedPrecond:
@@ -632,25 +1052,35 @@ def fused_schur_solve(
     chunk_iters: int,
     restart_every: int = 64,
     pre: FusedPrecond | None = None,
+    mode: str | None = None,
 ) -> tuple[jax.Array, jax.Array, schur.SolveStats]:
     """Drop-in replacement for ops/schur.py::schur_solve on supported
     configurations — same reduction math, same damping, same Huber
     weighting, same back-substitution; only the PCG loop moves on-chip.
     A prebuilt ``pre`` (FusedPrecond) skips the preconditioner build —
-    the freeze/refresh path."""
+    the freeze/refresh path.  ``mode`` ("resident"/"band", from
+    fused_mode) picks the VMEM-resident or the HBM-streamed banded
+    operator."""
     d = schur.damp(sys, lam)
     hll_inv = schur.inv_blocks(d.hll)
     rhs = -d.bp + schur.hpl_matvec(
         d, graph.lm_edges.pose, graph.lm_edges.lm,
         bm.mv(hll_inv, d.bl), graph.num_poses, None, graph.plan,
     )
-    op = build_fused_operator(d, hll_inv, graph)
     if pre is None:
         s_diag = schur.schur_s_diag(d, hll_inv, graph)
         pre = build_fused_precond(d, hll_inv, graph, s_diag, precond,
                                   coarse_group)
-    res = fused_pcg(op, pre, rhs.T, tol, max_iters, chunk_iters,
-                    restart_every)
+    if mode is None:
+        mode = "resident"
+    if mode == "band":
+        bop = build_band_operator(d, hll_inv, graph)
+        res = band_fused_pcg(bop, pre, rhs.T, tol, max_iters,
+                             chunk_iters, restart_every)
+    else:
+        op = build_fused_operator(d, hll_inv, graph)
+        res = fused_pcg(op, pre, rhs.T, tol, max_iters, chunk_iters,
+                        restart_every)
     dx_p = res.x.T
     u = schur.hlp_matvec(
         d, graph.lm_edges.pose, graph.lm_edges.lm, dx_p,

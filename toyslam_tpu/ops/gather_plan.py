@@ -63,6 +63,10 @@ class GatherPlan:
     # FusedAux when built host-side (attach_plan); None for sharded plans —
     # the fused single-device solver is gated on its presence.
     fused: object = None
+    # BandAux (ops/band_plan.py) when the graph is large enough that the
+    # VMEM-resident fused operator cannot apply and the banded run
+    # structure exists; gates the HBM-streamed fused path.
+    band: object = None
 
 
 def _build_table(
@@ -105,6 +109,13 @@ def build_gather_plan(graph: FactorGraph2D) -> GatherPlan:
     od_j = np.asarray(graph.odom.j)
     od_mask = np.asarray(graph.odom.mask)
     closure = np.nonzero((od_mask > 0) & (od_j != od_i + 1))[0].astype(np.int32)
+    band = None
+    if n >= 2048:
+        # the VMEM-resident fused operator covers small graphs; the banded
+        # search only pays off (and only runs, ~0.5 s host) at scale
+        from toyslam_tpu.ops.band_plan import build_band_aux
+
+        band = build_band_aux(graph)
     return GatherPlan(
         lm_by_pose=_build_table(lm_pose, lm_mask, n),
         lm_by_lm=_build_table(lm_lm, lm_mask, m),
@@ -115,6 +126,7 @@ def build_gather_plan(graph: FactorGraph2D) -> GatherPlan:
             closure_i=od_i[closure].astype(np.int32),
             closure_j=od_j[closure].astype(np.int32),
         ),
+        band=band,
     )
 
 

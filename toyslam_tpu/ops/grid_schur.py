@@ -395,6 +395,7 @@ def _solve_once(cfg, graph, gp, lam, pre=None):
         tol=cfg.pcg_tol,
         max_iters=cfg.pcg_max_iters,
         restart_every=cfg.pcg_restart_every,
+        unroll=cfg.pcg_unroll,
     )
     dx_p = res.x
     u = jnp.sum(bm.mtv(d.hpl_L, dx_p[pose_L]), axis=1)

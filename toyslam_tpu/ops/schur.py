@@ -493,8 +493,21 @@ def _pl_shift_up(x: jax.Array, s: int) -> jax.Array:
 
 
 def _pl_mm(a: jax.Array, b: jax.Array) -> jax.Array:
-    """Block product on component planes: [d,d,N] x [d,d,N] -> [d,d,N]."""
-    return jnp.einsum("abn,bcn->acn", a, b)
+    """Block product on component planes: [d,d,N] x [d,d,N] -> [d,d,N].
+
+    Unrolled elementwise products on [N]-lane vectors — einsum here lowers
+    to a batched dot_general whose tiny 3x3 contraction tiles
+    catastrophically (measured: the whole PCR build 2x SLOWER than the
+    [N,d,d] block layout it was meant to replace)."""
+    d = a.shape[0]
+    rows = [
+        jnp.stack([
+            sum(a[i, k] * b[k, j] for k in range(d))
+            for j in range(d)
+        ])
+        for i in range(d)
+    ]
+    return jnp.stack(rows)
 
 
 def _pl_t(a: jax.Array) -> jax.Array:
@@ -716,9 +729,31 @@ def _chol2x2(a: jax.Array) -> jax.Array:
 
 
 def _chol_small(a: jax.Array) -> jax.Array:
-    """Batched Cholesky of tiny SPD blocks (closed form for 2x2)."""
-    if a.shape[-1] == 2:
+    """Batched Cholesky of tiny SPD blocks with clamped pivots — closed
+    forms for 2x2/3x3.  ``jnp.linalg.cholesky`` NaNs on a pivot f32
+    rounding pushes negative (observed on ill-conditioned BA landmark
+    blocks: it made the partitioned SE(3) coarse build NaN); clamping
+    yields the factor of a nearby SPD matrix, which is all the
+    preconditioner fill terms need."""
+    k = a.shape[-1]
+    tiny = 1e-30
+    if k == 2:
         return _chol2x2(a)
+    if k == 3:
+        l00 = jnp.sqrt(jnp.maximum(a[..., 0, 0], tiny))
+        l10 = a[..., 1, 0] / l00
+        l20 = a[..., 2, 0] / l00
+        l11 = jnp.sqrt(jnp.maximum(a[..., 1, 1] - l10 * l10, tiny))
+        l21 = (a[..., 2, 1] - l20 * l10) / l11
+        l22 = jnp.sqrt(
+            jnp.maximum(a[..., 2, 2] - l20 * l20 - l21 * l21, tiny)
+        )
+        z = jnp.zeros_like(l00)
+        return jnp.stack([
+            jnp.stack([l00, z, z], -1),
+            jnp.stack([l10, l11, z], -1),
+            jnp.stack([l20, l21, l22], -1),
+        ], -2)
     return jnp.linalg.cholesky(a)
 
 
@@ -896,6 +931,7 @@ class SolveStats(NamedTuple):
 def pcg(
     matvec, precond_apply, rhs: jax.Array, tol: float, max_iters: int,
     restart_every: int = 64, dot_axis_name: str | None = None,
+    unroll: bool = False,
 ) -> PCGResult:
     """Preconditioned conjugate gradients over pose-space ``[N, d]`` arrays.
 
@@ -953,6 +989,24 @@ def pcg(
         p = jnp.where(done, p, z + beta * p)
         rz = jnp.where(done, rz, rz_new)
         return (x, r, p, rz, it + jnp.where(done, 0, 1), stop | breakdown)
+
+    if unroll:
+        # Measurement mode (scripts/bench_scaling_phases.py): exactly
+        # ``max_iters`` trace-time-unrolled iterations of the identical
+        # per-iteration op mix, no while_loop — XLA's cost_analysis counts
+        # a while body once regardless of trip count, so the per-iteration
+        # work decomposition needs the unrolled form.
+        st = (x0, r0, p0, rz0, jnp.asarray(0, jnp.int32),
+              jnp.asarray(False))
+        for _ in range(max_iters):
+            st = inner(0, st)
+        x, r, p, rz, it, stop = st
+        # 0*rz keeps the preconditioner BUILD live at max_iters=0 (the
+        # "build"-phase measurement would otherwise DCE it away)
+        return PCGResult(
+            x=x, iterations=it,
+            residual_norm=jnp.sqrt(dot(r, r)) + 0.0 * rz,
+        )
 
     def cond(st):
         x, r, p, rz, it, stop, chunk = st
@@ -1089,6 +1143,7 @@ def schur_solve(
     coarse_group: int = 64,
     pstate: PrecondState | None = None,
     chunk: int = 64,
+    unroll: bool = False,
 ) -> tuple[jax.Array, jax.Array, "SolveStats"]:
     """Solve ``(H + lam I) dx = -b`` via Schur elimination + PCG.
 
@@ -1119,6 +1174,7 @@ def schur_solve(
         tol=tol,
         max_iters=max_iters,
         restart_every=restart_every,
+        unroll=unroll,
     )
     dx_p = res.x
     u = hlp_matvec(
@@ -1162,11 +1218,13 @@ def schur_linearize_solve(cfg: OptimizerConfig, axis_name: str | None = None):
             # structure only, so the choice is baked into the jit cache key.
             from toyslam_tpu.ops import fused_pcg as fp
 
-            if fp.fused_supported(cfg, graph, axis_name):
+            fmode = fp.fused_mode(cfg, graph, axis_name)
+            if fmode is not None:
                 dx_p, dx_l, stats = fp.fused_schur_solve(
                     sys, graph, lam, cfg.pcg_tol, cfg.pcg_max_iters,
                     cfg.pcg_precond, cfg.pcg_coarse_group,
                     cfg.pcg_fused_chunk, cfg.pcg_restart_every,
+                    mode=fmode,
                 )
                 return dx_p, dx_l, sys.err, stats
             if cfg.pcg_backend == "fused":
@@ -1179,6 +1237,7 @@ def schur_linearize_solve(cfg: OptimizerConfig, axis_name: str | None = None):
                 sys, graph, lam, cfg.pcg_tol, cfg.pcg_max_iters, axis_name,
                 cfg.pcg_restart_every, cfg.pcg_precond,
                 cfg.pcg_coarse_group, chunk=cfg.pcg_chunk,
+                unroll=cfg.pcg_unroll,
             )
             return dx_p, dx_l, sys.err, stats
 
@@ -1217,12 +1276,14 @@ def schur_linearize_solve(cfg: OptimizerConfig, axis_name: str | None = None):
                 lambda: pstate,
             )
         sys = _assemble(graph)
-        if fp.fused_supported(cfg, graph, None):
+        fmode = fp.fused_mode(cfg, graph, None)
+        if fmode is not None:
             # fused kernel with the carried (frozen/refreshed) precond
             dx_p, dx_l, stats = fp.fused_schur_solve(
                 sys, graph, lam, cfg.pcg_tol, cfg.pcg_max_iters,
                 cfg.pcg_precond, cfg.pcg_coarse_group,
                 cfg.pcg_fused_chunk, cfg.pcg_restart_every, pre=pstate,
+                mode=fmode,
             )
             return dx_p, dx_l, sys.err, stats, (pstate, calls + 1)
         if cfg.pcg_backend == "fused":
@@ -1234,7 +1295,7 @@ def schur_linearize_solve(cfg: OptimizerConfig, axis_name: str | None = None):
         dx_p, dx_l, stats = schur_solve(
             sys, graph, lam, cfg.pcg_tol, cfg.pcg_max_iters, None,
             cfg.pcg_restart_every, cfg.pcg_precond, cfg.pcg_coarse_group,
-            pstate=pstate, chunk=cfg.pcg_chunk,
+            pstate=pstate, chunk=cfg.pcg_chunk, unroll=cfg.pcg_unroll,
         )
         return dx_p, dx_l, sys.err, stats, (pstate, calls + 1)
 

@@ -322,18 +322,25 @@ def build_partition(
         n_bl=n_bl,
     )
 
-    pgraph = FactorGraph2D(
+    # type-generic rebuild: FactorGraph3D shares every field name (plus
+    # intrinsics, which dataclasses.replace preserves), and its edge
+    # dataclasses share (i, j | pose, lm, meas, info, mask)
+    pgraph = dataclasses.replace(
+        graph,
         poses=poses,
         landmarks=landmarks,
         pose_mask=pose_mask_v,
         lm_mask=lm_mask_v,
         pose_fixed=pose_fixed_v,
         lm_fixed=lm_fixed_v,
-        odom=OdomEdges(i=s_oi.astype(np.int32), j=s_oj.astype(np.int32),
-                       meas=s_om, info=s_oinf, mask=od_m),
-        lm_edges=LandmarkEdges(pose=s_lp.astype(np.int32),
-                               lm=s_ll.astype(np.int32),
-                               meas=s_lm_, info=s_linf, mask=lm_m),
+        odom=type(graph.odom)(
+            i=s_oi.astype(np.int32), j=s_oj.astype(np.int32),
+            meas=s_om, info=s_oinf, mask=od_m,
+        ),
+        lm_edges=type(graph.lm_edges)(
+            pose=s_lp.astype(np.int32), lm=s_ll.astype(np.int32),
+            meas=s_lm_, info=s_linf, mask=lm_m,
+        ),
         plan=plan,
     )
     n_real = int((np.asarray(graph.pose_mask) > 0).sum())
@@ -382,19 +389,42 @@ class _LocalSystem(NamedTuple):
     err: jax.Array        # [] psum'd chi^2
 
 
-def _assemble_local(g: FactorGraph2D, cfg: OptimizerConfig, axis: str,
-                    pose_bnd, lm_bnd) -> _LocalSystem:
-    """Linearize the local edge shard into owner-complete local blocks.
+def _is_3d(g) -> bool:
+    """SE(3)/BA graphs carry camera intrinsics; the partition machinery is
+    otherwise block-size generic (dp/dl read off the arrays)."""
+    return hasattr(g, "intrinsics")
 
-    ``pose_bnd [Bp,3]`` / ``lm_bnd [Bl,2]`` are the published boundary
-    states; cross contributions ride the registry tails of the local
-    segment sums and psum once (tuple-psum: one collective)."""
-    pl: PartitionPlan = g.plan
-    nb = g.poses.shape[0]
-    mb = g.landmarks.shape[0]
-    x_ext = jnp.concatenate([g.poses, pose_bnd], axis=0)
-    l_ext = jnp.concatenate([g.landmarks, lm_bnd], axis=0)
 
+def _linearize_local(g, cfg: OptimizerConfig, x_ext, l_ext, pl):
+    """Per-edge linearization on the extended (local + boundary) state,
+    dispatching SE(2) vs SE(3) — both return the same block-field names.
+    Returns ``(ata, btb, hpp_off, wr_i, wr_j, odom_err, lb)``."""
+    if _is_3d(g):
+        from toyslam_tpu.ops import edge_blocks3d as eb3
+        from toyslam_tpu.ops import residuals3d as res3
+
+        od = res3.eval_odom3d_edges(
+            x_ext, pl.odom_i_loc, pl.odom_j_ext, g.odom.meas, g.odom.info,
+            g.odom.mask, cfg.huber_delta, exact=cfg.exact_odom_jacobians,
+        )
+        w_od = od.w[:, None, None] * g.odom.info
+        lb = eb3.reproj_edge_blocks(
+            x_ext, l_ext, g.intrinsics, pl.lm_p_loc, pl.lm_ext,
+            g.lm_edges.meas, g.lm_edges.info, g.lm_edges.mask,
+            cfg.huber_delta, backend=cfg.edge_backend,
+        )
+        return (
+            bm.quad(od.JA, w_od), bm.quad(od.JB, w_od),
+            bm.mtm(od.JA, bm.mm(w_od, od.JB)),
+            bm.mtv(od.JA, bm.mv(w_od, od.r)),
+            bm.mtv(od.JB, bm.mv(w_od, od.r)),
+            jnp.sum(od.robust_err), lb,
+        )
+    lb = edge_blocks.lm_edge_blocks(
+        x_ext, l_ext, pl.lm_p_loc, pl.lm_ext, g.lm_edges.meas,
+        g.lm_edges.info, g.lm_edges.mask, cfg.huber_delta,
+        backend=cfg.edge_backend,
+    )
     if cfg.exact_odom_jacobians:
         from toyslam_tpu.ops import residuals as res_ops
 
@@ -403,27 +433,38 @@ def _assemble_local(g: FactorGraph2D, cfg: OptimizerConfig, axis: str,
             g.odom.mask, cfg.huber_delta, exact=True,
         )
         w_od = od.w[:, None, None] * g.odom.info
-        ata = bm.quad(od.JA, w_od)
-        btb = bm.quad(od.JB, w_od)
-        hpp_off = bm.mtm(od.JA, bm.mm(w_od, od.JB))
-        wr_i = bm.mtv(od.JA, bm.mv(w_od, od.r))
-        wr_j = bm.mtv(od.JB, bm.mv(w_od, od.r))
-        odom_err = jnp.sum(od.robust_err)
-    else:
-        ob = edge_blocks.odom_edge_blocks(
-            x_ext, pl.odom_i_loc, pl.odom_j_ext, g.odom.meas, g.odom.info,
-            g.odom.mask, cfg.huber_delta, backend=cfg.edge_backend,
+        return (
+            bm.quad(od.JA, w_od), bm.quad(od.JB, w_od),
+            bm.mtm(od.JA, bm.mm(w_od, od.JB)),
+            bm.mtv(od.JA, bm.mv(w_od, od.r)),
+            bm.mtv(od.JB, bm.mv(w_od, od.r)),
+            jnp.sum(od.robust_err), lb,
         )
-        ata = ob.w_info
-        btb = ob.w_info
-        hpp_off = -ob.w_info
-        wr_i = -ob.wr
-        wr_j = ob.wr
-        odom_err = jnp.sum(ob.robust_err)
-    lb = edge_blocks.lm_edge_blocks(
-        x_ext, l_ext, pl.lm_p_loc, pl.lm_ext, g.lm_edges.meas,
-        g.lm_edges.info, g.lm_edges.mask, cfg.huber_delta,
-        backend=cfg.edge_backend,
+    ob = edge_blocks.odom_edge_blocks(
+        x_ext, pl.odom_i_loc, pl.odom_j_ext, g.odom.meas, g.odom.info,
+        g.odom.mask, cfg.huber_delta, backend=cfg.edge_backend,
+    )
+    return (
+        ob.w_info, ob.w_info, -ob.w_info, -ob.wr, ob.wr,
+        jnp.sum(ob.robust_err), lb,
+    )
+
+
+def _assemble_local(g, cfg: OptimizerConfig, axis: str,
+                    pose_bnd, lm_bnd) -> _LocalSystem:
+    """Linearize the local edge shard into owner-complete local blocks.
+
+    ``pose_bnd [Bp,dp]`` / ``lm_bnd [Bl,dl]`` are the published boundary
+    states; cross contributions ride the registry tails of the local
+    segment sums and psum once (tuple-psum: one collective)."""
+    pl: PartitionPlan = g.plan
+    nb = g.poses.shape[0]
+    mb = g.landmarks.shape[0]
+    x_ext = jnp.concatenate([g.poses, pose_bnd], axis=0)
+    l_ext = jnp.concatenate([g.landmarks, lm_bnd], axis=0)
+
+    ata, btb, hpp_off, wr_i, wr_j, odom_err, lb = _linearize_local(
+        g, cfg, x_ext, l_ext, pl
     )
 
     # pose-space accumulators over [Nb + Bp]: row-i terms land locally,
@@ -465,12 +506,12 @@ def _assemble_local(g: FactorGraph2D, cfg: OptimizerConfig, axis: str,
     )
 
     # gauge priors + padding regularization (local rows — owner applies)
-    eye3 = jnp.eye(3, dtype=hpp_diag.dtype)
-    eye2 = jnp.eye(2, dtype=hll.dtype)
+    eye_p = jnp.eye(hpp_diag.shape[-1], dtype=hpp_diag.dtype)
+    eye_l = jnp.eye(hll.shape[-1], dtype=hll.dtype)
     pose_reg = cfg.fixed_prior * g.pose_fixed + (1.0 - g.pose_mask)
     lm_reg = cfg.fixed_prior * g.lm_fixed + (1.0 - g.lm_mask)
-    hpp_diag = hpp_diag + pose_reg[:, None, None] * eye3
-    hll = hll + lm_reg[:, None, None] * eye2
+    hpp_diag = hpp_diag + pose_reg[:, None, None] * eye_p
+    hll = hll + lm_reg[:, None, None] * eye_l
     bp = bp * (1.0 - g.pose_fixed)[:, None]
     bl = bl * (1.0 - g.lm_fixed)[:, None]
 
@@ -900,6 +941,7 @@ def partitioned_linearize_solve(
             max_iters=cfg.pcg_max_iters,
             restart_every=cfg.pcg_restart_every,
             dot_axis_name=axis,
+            unroll=cfg.pcg_unroll,
         )
         dx_p = res.x
 
@@ -918,18 +960,20 @@ def partitioned_linearize_solve(
         )
 
     # every array in the partitioned graph is sharded along axis 0
-    # (states by block, stacked per-device tables by their leading D axis),
-    # so a prefix spec covers the whole pytree
-    sharded = shard_map(
-        body,
-        mesh=mesh,
-        in_specs=(P(axis), P()),
-        out_specs=(P(axis), P(axis), P(),
-                   SolveStats(pcg_iters=P(), pcg_residual=P())),
-        check_vma=cfg.edge_backend != "pallas",
-    )
+    # (states by block, stacked per-device tables by their leading D axis)
+    # EXCEPT the camera intrinsics of SE(3) graphs, which replicate
+    out_specs = (P(axis), P(axis), P(),
+                 SolveStats(pcg_iters=P(), pcg_residual=P()))
+    check_vma = cfg.edge_backend != "pallas"
 
     def solve(graph: FactorGraph2D, lam: jax.Array):
+        specs = jax.tree.map(lambda _: P(axis), graph)
+        if _is_3d(graph):
+            specs = dataclasses.replace(specs, intrinsics=P())
+        sharded = shard_map(
+            body, mesh=mesh, in_specs=(specs, P()),
+            out_specs=out_specs, check_vma=check_vma,
+        )
         return sharded(graph, lam)
 
     def prepare(graph: FactorGraph2D) -> FactorGraph2D:
