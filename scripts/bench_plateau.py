@@ -1,0 +1,149 @@
+"""Scale results at STATED quality (VERDICT r3 item 4): run the 10k and
+100k workloads to a chi^2 plateau, record the convergence curve, the
+iterations-to-plateau, and final ATE vs dead-reckoning — not a snapshot at
+an arbitrary iteration cap.  Also evaluates chi^2 at the ground-truth
+state: on the single-lap serpentine, drift along the sweep is weakly
+observable (no loop closures), so GT-chi^2 — not ATE — is the quality
+floor there; the laps>=2 configs re-observe the map and gate on ATE.
+
+Writes BENCH_PLATEAU.json.
+"""
+
+import dataclasses
+import json
+import os
+import time
+
+import _bootstrap  # noqa: F401,E402
+
+import jax
+import numpy as np
+
+from toyslam_tpu.config import OptimizerConfig
+from toyslam_tpu.ops import assemble
+from toyslam_tpu.optimizer import GaussNewton
+from toyslam_tpu.sim import frontend, synthetic
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_to_plateau(name, make_graph, opt, n_real, plateau_rtol=1e-3):
+    graph, poses_gt, lms_gt = make_graph()
+    gn = GaussNewton(opt)
+    g = jax.device_put(gn._prepare(graph))
+    t0 = time.time()
+    r = gn.optimize(g)
+    est = np.asarray(r.graph.poses)
+    wall0 = time.time() - t0
+    iters = int(r.iterations_run)
+    t0 = time.time()
+    r = gn.optimize(g)
+    est = np.asarray(r.graph.poses)
+    wall = time.time() - t0
+
+    errs = np.asarray(r.errors)
+    valid = errs[~np.isnan(errs)]
+    # iterations to plateau: first iteration whose chi^2 is within
+    # plateau_rtol of the final value
+    final = float(valid[-1])
+    reach = int(np.argmax(valid <= final * (1.0 + plateau_rtol))) + 1
+
+    # chi^2 at ground truth (the quality floor for drift-limited configs);
+    # real entries overwrite the padded arrays, padding stays masked
+    pp = np.array(graph.poses)
+    pp[:n_real] = np.asarray(poses_gt, np.float32)
+    ll = np.array(graph.landmarks)
+    ll[:len(lms_gt)] = np.asarray(lms_gt, np.float32)
+    gt_state = graph.with_state(pp, ll)
+    chi2_gt = float(assemble.total_error(
+        jax.device_put(gt_state), huber_delta=opt.huber_delta,
+        exact_odom_jacobians=opt.exact_odom_jacobians,
+    ))
+
+    out = {
+        "config": name,
+        "poses": n_real,
+        "landmarks": int(np.asarray(graph.lm_mask).sum()),
+        "lm_edges": int(np.asarray(graph.lm_edges.mask).sum()),
+        "iterations_run": iters,
+        "iters_per_s": round(iters / wall, 2),
+        "wall_s": round(wall, 2),
+        "wall_first_incl_compile_s": round(wall0, 1),
+        "converged": bool(r.converged),
+        "iters_to_plateau": reach,
+        "chi2_curve": [round(float(v), 1) for v in valid],
+        "chi2_final": round(final, 1),
+        "chi2_at_ground_truth": round(chi2_gt, 1),
+        "ate_rmse": round(frontend.ate_rmse(est[:n_real], poses_gt), 4),
+        "ate_dead_reckoning": round(frontend.ate_rmse(
+            np.asarray(graph.poses)[:n_real], poses_gt), 4),
+        "pcg_iters": np.asarray(r.pcg_iters)[:iters].tolist(),
+        "platform": jax.devices()[0].platform,
+    }
+    print(json.dumps(out), flush=True)
+    return out
+
+
+def main():
+    results = []
+    base = OptimizerConfig(
+        iterations=60, lr=1.0, solver="schur_grid",
+        exact_odom_jacobians=True,
+        pcg_tol=1e-3, pcg_max_iters=60, pcg_restart_every=30,
+        pcg_precond="tridiag+coarse", pcg_coarse_group=32,
+        pcg_precond_refresh=5, convergence_eps=1e-4,
+    )
+
+    # 10k single lap: drift-limited (no closures) — gate = GT-chi^2
+    results.append(run_to_plateau(
+        "plateau-10k",
+        lambda: synthetic.make_large_problem(
+            num_poses=10_000, num_landmarks=10_000, obs_per_pose=6, seed=0,
+        ),
+        base, 10_000,
+    ))
+
+    # 10k with revisits: ATE observable
+    results.append(run_to_plateau(
+        "plateau-10k-revisit",
+        lambda: synthetic.make_large_problem(
+            num_poses=10_000, num_landmarks=5_000, obs_per_pose=6, seed=0,
+            laps=2,
+        ),
+        base, 10_000,
+    ))
+
+    # 100k with revisits (laps=2): the capacity config run to a plateau
+    # with real loop closures — round 3 recorded only an unconverged
+    # 15-iteration snapshot without closures (VERDICT r3 weak #3)
+    huge = dataclasses.replace(
+        base, iterations=40, pcg_coarse_group=64,
+    )
+    results.append(run_to_plateau(
+        "plateau-100k-revisit",
+        lambda: synthetic.make_large_problem(
+            num_poses=100_000, num_landmarks=50_000, obs_per_pose=6,
+            seed=0, laps=2,
+            pose_bucket=1024, landmark_bucket=1024, edge_bucket=8192,
+        ),
+        huge, 100_000,
+    ))
+
+    path = os.path.join(REPO, "BENCH_PLATEAU.json")
+    with open(path, "w") as f:
+        json.dump({
+            "measured_at": time.strftime("%Y-%m-%d %H:%M:%S"),
+            "device": str(jax.devices()[0]),
+            "note": (
+                "runs to a chi^2 plateau (iters_to_plateau = first "
+                "iteration within 0.1% of final); single-lap configs are "
+                "drift-limited so chi2_at_ground_truth is the quality "
+                "floor, revisit configs gate on ATE"
+            ),
+            "configs": results,
+        }, f, indent=2)
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()

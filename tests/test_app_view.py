@@ -43,6 +43,7 @@ def test_cli_run_metrics_and_artifacts(tmp_path, capsys):
     assert meta["metrics"]["poses"] == 40
 
 
+@pytest.mark.slow
 def test_cli_ba3d(capsys):
     rc = app_main([
         "ba3d", "--poses", "24", "--landmarks", "80", "--obs", "12",

@@ -134,9 +134,9 @@ def test_band_operator_matvec_oracle(big_graph):
             w_band[o:o + w_row] += np.einsum("awc,c->wa", tiles[c, k], t)
     w_band = w_band[:n]
     if op.u is not None:
-        ua = np.asarray(op.u)                      # [3, n, mw]
-        urow = np.einsum("anw,na->w", ua, x)
-        w_band = w_band + np.einsum("anw,w->na", ua, urow)
+        ua = np.asarray(op.u)                      # [3, mw, n]
+        urow = np.einsum("awn,na->w", ua, x)
+        w_band = w_band + np.einsum("awn,w->na", ua, urow)
     np.testing.assert_allclose(
         w_band, np.asarray(w_ref),
         atol=3e-3 * max(np.abs(np.asarray(w_ref)).max(), 1.0),

@@ -86,6 +86,7 @@ def test_distributed3d_assembly_matches_single_device(problem):
         )
 
 
+@pytest.mark.slow
 def test_distributed3d_full_optimize_converges(problem):
     graph, poses_gt, _ = problem
     n = poses_gt.shape[0]

@@ -218,6 +218,7 @@ def ba_graph():
     return attach_plan(graph)
 
 
+@pytest.mark.slow
 def test_fused_solve_matches_xla_se3(ba_graph):
     from toyslam_tpu.ops import schur3d
 
@@ -234,6 +235,7 @@ def test_fused_solve_matches_xla_se3(ba_graph):
     assert int(st1.pcg_iters) < 300
 
 
+@pytest.mark.slow
 def test_gauss_newton_se3_parity(ba_graph):
     base = OptimizerConfig(
         solver="schur3d", pcg_precond="tridiag", iterations=6,

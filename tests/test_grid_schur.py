@@ -35,6 +35,7 @@ def graph():
         ("chunk+coarse", 5),
     ],
 )
+@pytest.mark.slow
 def test_grid_matches_schur(graph, precond, refresh):
     base = OptimizerConfig(
         iterations=6, lr=1.0, solver="schur", exact_odom_jacobians=True,
@@ -58,6 +59,7 @@ def test_grid_matches_schur(graph, precond, refresh):
     )
 
 
+@pytest.mark.slow
 def test_grid_laps_workload(graph):
     """Revisit workload (real loop closures in the OBSERVATIONS, chain
     odometry) — the grid path covers it."""

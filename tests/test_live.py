@@ -41,6 +41,7 @@ def test_live_accumulates_frames_and_optimizes():
     )
 
 
+@pytest.mark.slow
 def test_live_periodic_reoptimization_improves_running_estimate():
     cfg = SlamConfig(
         sim=SimConfig(robot_steps=60, seed=0),
@@ -74,6 +75,7 @@ def test_live_periodic_reoptimization_improves_running_estimate():
     assert ate_batch < ate_dr / 2
 
 
+@pytest.mark.slow
 def test_app_run_live_headless(tmp_path, capsys):
     plot = str(tmp_path / "live.png")
     rc = app_main([

@@ -141,6 +141,7 @@ def test_reproj_blocks_match_oracle():
         )
 
 
+@pytest.mark.slow
 def test_ba3d_solve_with_pallas_backend_matches_xla():
     """One SE(3) BA linearize-solve: pallas and xla reprojection
     linearization produce the same Newton step.

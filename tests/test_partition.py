@@ -103,6 +103,7 @@ def test_partitioned_gauss_newton_end_to_end(random_setup, mesh):
     )
 
 
+@pytest.mark.slow
 def test_multi_loop_partitioned_recovers_trajectory(mesh):
     """The realistic workload: 300-pose multi-loop circuit with dense
     revisits (loop closures).  The partitioned optimizer must reach the

@@ -164,6 +164,7 @@ def test_tridiag_pcr_solves_exactly(n, d):
     np.testing.assert_allclose(z, want, rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_tridiag_precond_cuts_pcg_iterations():
     """On a chain-dominated graph the tridiag preconditioner must converge
     in far fewer PCG iterations than block-Jacobi."""
@@ -324,6 +325,7 @@ def test_chunk_precond_matches_tridiag_when_unchunked():
     assert rel < 1e-5, rel
 
 
+@pytest.mark.slow
 def test_chunk_coarse_pcg_converges_like_tridiag_coarse():
     """chunk+coarse must not cost materially more PCG iterations than
     tridiag+coarse (the boundary cuts drop 1/chunk of the chain couplings;

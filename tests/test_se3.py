@@ -7,6 +7,7 @@ to the 2D edges) and ground-truth recovery on a synthetic BA problem.
 """
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -156,6 +157,7 @@ def test_odom3d_residual_zero_at_truth():
     )
 
 
+@pytest.mark.slow
 def test_ba_converges_to_ground_truth():
     graph, poses_gt, lms_gt = synthetic3d.make_ba_problem(
         num_poses=48, num_landmarks=160, obs_per_pose=20, seed=0

@@ -54,6 +54,7 @@ def test_large_problem_shapes():
     assert np.median(init_err) < 5.0
 
 
+@pytest.mark.slow
 def test_large_problem_optimizes():
     graph, poses_gt, lms_gt = synthetic.make_large_problem(
         num_poses=600, num_landmarks=400, obs_per_pose=5, seed=2,
@@ -76,6 +77,7 @@ def test_large_problem_optimizes():
     assert errs[-1] < errs[0]
 
 
+@pytest.mark.slow
 def test_large_problem_truncated_newton_quality_gate():
     """Acceptance bound for the scale-up config (VERDICT r1 item 8): the
     TPU-tuned truncated-Newton budget (tight PCG cap + periodic
@@ -124,6 +126,7 @@ def test_large_problem_truncated_newton_quality_gate():
     assert chi2_last <= chi2_gt * 1.001, (chi2_last, chi2_gt)
 
 
+@pytest.mark.slow
 def test_revisit_workload_ate_gate():
     """The scale config with loop closures (laps=2): revisits anchor
     drift, so ATE becomes a real acceptance gate alongside chi^2

@@ -373,7 +373,11 @@ class BandOperator(NamedTuple):
 
     tiles: jax.Array     # f32[n_chunks, K, dp, Wrow, B*dl] (HBM-resident)
     win_off: jax.Array   # i32[n_chunks, K] window start pose (SMEM)
-    u: jax.Array | None  # f32[dp, Np, Mw] wide + closure full columns
+    # wide + closure full columns, TRANSPOSED [dp, Mw, Np]: the lane dim
+    # must be the long aligned axis — as [Np, Mw] each materialized use
+    # padded Mw up to 128 lanes (5.3x at Mw=24), a large slice of the
+    # kernel's 263 MB register-spill OOM
+    u: jax.Array | None  # f32[dp, Mw, Np]
     tdiag: jax.Array     # f32[dp, dp, Np]
     tupper: jax.Array
     tlower: jax.Array
@@ -428,19 +432,11 @@ def _make_band_kernel(nlevels: int, has_coarse: bool, chunk_iters: int,
 
         np_ = x_ref.shape[1]
 
-        td = td_ref[:]
-        tu = tu_ref[:]
-        tl = tl_ref[:]
-        binv = binv_ref[:]
-        us = [r[:] for r in u_refs]
-        if nlevels:
-            als = [al_ref[l] for l in range(nlevels)]
-            gas = [ga_ref[l] for l in range(nlevels)]
-        if has_coarse:
-            rmat = rmat_ref[:]
-            cinvs = [
-                [cinv_ref[a, b] for b in range(dp)] for a in range(dp)
-            ]
+        # NO ref-read hoisting here, unlike _make_kernel: this kernel's
+        # loops are while_loops (compile-once bodies, nothing unrolls), so
+        # in-body reads are transient — hoisted [d,d,N]/[N,nc] planes were
+        # long-lived vector registers the allocator spilled (263 MB of
+        # spill slots, vmem OOM at the 10k config)
 
         def dma(slot, ti):
             return pltpu.make_async_copy(
@@ -448,15 +444,18 @@ def _make_band_kernel(nlevels: int, has_coarse: bool, chunk_iters: int,
             )
 
         def matvec(x):
-            y = _bmv(td, x)
-            y = y + _bmv(tu, _shift(x, -1))
-            y = y + _bmv(tl, _shift(x, 1))
+            y = _bmv(td_ref[:], x)
+            y = y + _bmv(tu_ref[:], _shift(x, -1))
+            y = y + _bmv(tl_ref[:], _shift(x, 1))
             if mw:
-                urow = _dot(x[0:1, :], us[0], _DN_STD)
+                # u stored [mw, Np]: contract over the aligned Np lanes
+                urow = _dot(x[0:1, :], u_refs[0][:], _DN_T)
                 for a in range(1, dp):
-                    urow = urow + _dot(x[a:a + 1, :], us[a], _DN_STD)
+                    urow = urow + _dot(x[a:a + 1, :], u_refs[a][:],
+                                       _DN_T)
                 y = y - jnp.concatenate(
-                    [_dot(urow, us[a], _DN_T) for a in range(dp)], axis=0
+                    [_dot(urow, u_refs[a][:], _DN_STD) for a in range(dp)],
+                    axis=0,
                 )
             # banded leg: stream the tile stack once, chunk by chunk
             xext[:, :np_] = x
@@ -512,21 +511,26 @@ def _make_band_kernel(nlevels: int, has_coarse: bool, chunk_iters: int,
             for l in range(nlevels):
                 t = (
                     t
-                    + _bmv(als[l], _shift(t, s))
-                    + _bmv(gas[l], _shift(t, -s))
+                    + _bmv(al_ref[l], _shift(t, s))
+                    + _bmv(ga_ref[l], _shift(t, -s))
                 )
                 s *= 2
-            z = _bmv(binv, t)
+            z = _bmv(binv_ref[:], t)
             if has_coarse:
-                rc = [_dot(r[b:b + 1, :], rmat, _DN_STD)
-                      for b in range(dp)]
+                # batched restriction/prolongation: ONE rmat product each
+                # way ([dp,Np]@[Np,nc] and [dp,nc]@rmat^T) instead of
+                # 2*dp single-row products — fewer materialized rmat
+                # operand copies on the Mosaic value stack
+                rc = _dot(r, rmat_ref[:], _DN_STD)          # [dp, nc]
                 rows = []
                 for a in range(dp):
-                    za = rc[0] * 0.0
+                    za = rc[0:1] * 0.0
                     for b in range(dp):
-                        za = za + _dot(rc[b], cinvs[a][b], _DN_T)
-                    rows.append(_dot(za, rmat, _DN_T))
-                z = z + jnp.concatenate(rows, axis=0)
+                        za = za + _dot(rc[b:b + 1], cinv_ref[a, b],
+                                       _DN_T)
+                    rows.append(za)
+                zc = jnp.concatenate(rows, axis=0)          # [dp, nc]
+                z = z + _dot(zc, rmat_ref[:], _DN_T)        # [dp, Np]
             return z
 
         atol2 = atol2_ref[0, 0]
@@ -542,8 +546,11 @@ def _make_band_kernel(nlevels: int, has_coarse: bool, chunk_iters: int,
         rr = jnp.sum(r * r)
         stop0 = stop_ref[0, 0] > 0
 
-        def body(_, carry):
-            x, r, p, rz, rr, stop, it = carry
+        def cond(carry):
+            return carry[0] < chunk_iters
+
+        def body(carry):
+            i, x, r, p, rz, rr, stop, it = carry
             ap = matvec(p)
             pap = jnp.sum(p * ap)
             breakdown = ~(pap > 0.0) | ~jnp.isfinite(pap)
@@ -560,10 +567,12 @@ def _make_band_kernel(nlevels: int, has_coarse: bool, chunk_iters: int,
             p = jnp.where(done, p, z + beta * p)
             rz = jnp.where(done, rz, rz_new)
             it = it + jnp.where(done, 0, 1)
-            return (x, r, p, rz, rr, stop, it)
+            return (i + 1, x, r, p, rz, rr, stop, it)
 
-        x, r, p, rz, rr, stop, it = jax.lax.fori_loop(
-            0, chunk_iters, body, (x, r, p, rz, rr, stop0, it0)
+        # while_loop, not fori: compile-once body (see hoisting note)
+        _, x, r, p, rz, rr, stop, it = jax.lax.while_loop(
+            cond, body,
+            (jnp.asarray(0, _i32), x, r, p, rz, rr, stop0, it0),
         )
         r_true = rhs_ref[:] - matvec(x)
         x_out_ref[:] = x
@@ -593,7 +602,7 @@ def band_fused_pcg(
     has_coarse = pre.cinv is not None
     dp, np_ = rhs2.shape
     n_bchunks, k_win, _, w_row, b_dl = op.tiles.shape
-    mw = 0 if op.u is None else op.u.shape[2]
+    mw = 0 if op.u is None else op.u.shape[1]
 
     rhs_norm2 = jnp.sum(rhs2 * rhs2)
     atol2 = (tol ** 2) * rhs_norm2
@@ -844,16 +853,16 @@ def build_band_operator(
         wid = graph.lm_edges.pose * nw + band.wide_idx
         uw = jax.ops.segment_sum(wvals, wid, n * nw)       # [n*nw, dp, dl]
         ucols.append(
-            uw.reshape(n, nw, dp, dl).transpose(2, 0, 1, 3).reshape(
-                dp, n, nw * dl
+            uw.reshape(n, nw, dp, dl).transpose(2, 1, 3, 0).reshape(
+                dp, nw * dl, n
             )
         )
     tdiag = d.hpp_diag
     ccols, extra = _closure_columns(d, aux, n, dp)
     if ccols is not None:
-        ucols.append(ccols)
+        ucols.append(jnp.swapaxes(ccols, 1, 2))
         tdiag = tdiag + extra
-    u = jnp.concatenate(ucols, axis=2) if ucols else None
+    u = jnp.concatenate(ucols, axis=1) if ucols else None
 
     upper = schur.chain_upper(d, graph.odom.i, graph.odom.j, n)
     lower = jnp.swapaxes(schur._shift_down(upper, 1), -1, -2)
