@@ -50,25 +50,38 @@ def main():
     graph, poses_gt, _ = synthetic.make_large_problem(
         num_poses=10_000, num_landmarks=10_000, obs_per_pose=6, seed=0,
     )
+    import os
+
+    # identical-trajectory A/B: both sides run the SAME preconditioner
+    # (coarse_group=160 — the in-kernel coarse size the band kernel
+    # supports, see fused_mode) and the same truncation budget, so the
+    # chi^2 trajectories must agree and iters/s isolates the solver
     common = dict(
         iterations=15, lr=1.0, exact_odom_jacobians=True,
-        pcg_tol=1e-2, pcg_max_iters=15, pcg_restart_every=15,
-        pcg_precond="tridiag+coarse", pcg_coarse_group=32,
+        pcg_tol=1e-2, pcg_max_iters=80, pcg_restart_every=40,
+        pcg_precond="tridiag+coarse", pcg_coarse_group=160,
         pcg_precond_refresh=5,
     )
     grid = OptimizerConfig(solver="schur_grid", **common)
-    import os
-
     band = OptimizerConfig(
         solver="schur", pcg_backend="fused",
-        pcg_fused_chunk=int(os.environ.get("BAND_CHUNK", "3")), **common,
+        pcg_fused_chunk=int(os.environ.get("BAND_CHUNK", "10")), **common,
     )
-    # NOTE: exact_odom_jacobians is rejected by the fused gate only when
-    # closures exist; the serpentine is chain-only so it passes.
-    r_grid = bench("grid-10k", graph, poses_gt, grid, 10_000)
-    r_band = bench("band-10k", graph, poses_gt, band, 10_000)
+    # tuned round-3 reference point (different precond/budget — context row)
+    grid32 = OptimizerConfig(
+        solver="schur_grid", iterations=15, lr=1.0,
+        exact_odom_jacobians=True, pcg_tol=1e-2, pcg_max_iters=15,
+        pcg_restart_every=15, pcg_precond="tridiag+coarse",
+        pcg_coarse_group=32, pcg_precond_refresh=5,
+    )
+    r_grid32 = bench("grid-10k-tuned-cg32", graph, poses_gt, grid32, 10_000)
+    r_grid = bench("grid-10k-cg160", graph, poses_gt, grid, 10_000)
+    r_band = bench("band-10k-cg160", graph, poses_gt, band, 10_000)
     print(json.dumps({
-        "speedup": round(r_band["iters_per_s"] / r_grid["iters_per_s"], 2),
+        "speedup_same_traj": round(
+            r_band["iters_per_s"] / r_grid["iters_per_s"], 2),
+        "speedup_vs_tuned": round(
+            r_band["iters_per_s"] / r_grid32["iters_per_s"], 2),
         "chi2_match": abs(r_band["chi2_last"] - r_grid["chi2_last"])
         / max(r_grid["chi2_last"], 1.0),
     }))

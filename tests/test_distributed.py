@@ -85,34 +85,6 @@ def test_pad_edges_for_mesh_is_inert(setup):
     np.testing.assert_allclose(float(a[2]), float(b[2]), rtol=1e-6)
 
 
-def test_distributed_solve_with_pallas_backend(setup):
-    """shard_map + Pallas edge kernels (interpreter mode on the fake CPU
-    mesh): the sharded Pallas linearization must match the single-device
-    XLA solve."""
-    _, _, graph = setup
-    cfg = OptimizerConfig(
-        solver="schur", pcg_tol=1e-8, pcg_max_iters=500,
-        edge_backend="pallas",
-    )
-    mesh = make_mesh()
-    lam = jnp.asarray(1e-3)
-
-    dist_solve = distributed_linearize_solve(cfg, mesh)
-    dxp_d, dxl_d, err_d, _ = jax.jit(dist_solve)(graph, lam)
-
-    cfg_x = OptimizerConfig(solver="schur", pcg_tol=1e-8, pcg_max_iters=500)
-    local_solve = schur.schur_linearize_solve(cfg_x)
-    dxp_s, dxl_s, err_s, _ = jax.jit(local_solve)(graph, lam)
-
-    np.testing.assert_allclose(float(err_d), float(err_s), rtol=1e-5)
-    np.testing.assert_allclose(
-        np.asarray(dxp_d), np.asarray(dxp_s), rtol=1e-3, atol=1e-5
-    )
-    np.testing.assert_allclose(
-        np.asarray(dxl_d), np.asarray(dxl_s), rtol=1e-3, atol=1e-5
-    )
-
-
 def test_distributed_sharded_plan_matches_single_device(setup):
     """The per-shard gather-table path (prepare() attaches
     gather_plan.build_sharded_plan tables; the PCG matvec runs on the

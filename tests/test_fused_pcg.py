@@ -6,7 +6,7 @@ the re-expression is EXACT (operator equivalence to the oracle matvec),
 that the solve agrees with the XLA PCG for every supported preconditioner,
 that loop-closure odometry edges fold in exactly, and that the trace-time
 gate falls back where the kernel does not apply.  On CPU the kernel runs in
-Pallas interpreter mode (same as ops/pallas_edges.py).
+Pallas interpreter mode.
 """
 
 import dataclasses

@@ -323,7 +323,7 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--iterations", type=int, default=10)
     r.add_argument("--lr", type=float, default=0.2)
     r.add_argument("--solver", choices=("dense", "schur"), default="schur")
-    r.add_argument("--edge-backend", choices=("xla", "pallas"),
+    r.add_argument("--edge-backend", choices=("xla",),
                    default="xla")
     r.add_argument("--seed", type=int, default=0)
     r.add_argument("--live", action="store_true",

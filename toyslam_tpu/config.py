@@ -177,15 +177,14 @@ class OptimizerConfig:
     # always rebuilds (a conditional around psum-carrying builds would
     # put collectives under lax.cond, which mis-lowers in shard_map).
     pcg_precond_refresh: int = 1
-    # Per-edge linearization backend (schur solver): "xla" — batched jnp
-    # formulas fused by XLA (the correctness oracle); "pallas" — fused
-    # component-major Pallas TPU kernels (ops/pallas_edges.py; interpreted
-    # on CPU).  Recorded A/B on real TPU (BENCH_PALLAS.json, fetch-fenced):
-    # statistically tied on both the 150-pose and tuned 10k configs
-    # (±0.5%) — the linearization is a small slice of the solve — so the
-    # default stays on the oracle path.  Not supported together with
-    # exact_odom_jacobians (ops/edge_blocks.py raises: the kernel encodes
-    # the reference's A=-I/B=I structure).
+    # Per-edge linearization backend: only "xla" remains.  The standalone
+    # per-edge Pallas kernels were RETIRED in round 4: three rounds of
+    # recorded A/Bs (BENCH_PALLAS.json) had them statistically tied with
+    # the XLA-fused linearization on every config (the linearization is a
+    # small slice of the solve), and the kernels that actually win are the
+    # whole-loop fused/banded PCG kernels (ops/fused_pcg.py).  The field
+    # stays so configs/CLIs that name it fail with this explanation
+    # instead of a silent attribute error.
     edge_backend: str = "xla"
     # PCG loop backend (schur solver, single-device):
     #   "auto"  — use the fused Pallas PCG kernel (ops/fused_pcg.py: the
@@ -229,8 +228,13 @@ class OptimizerConfig:
             )
         if self.solver not in ("dense", "schur", "schur_grid", "schur3d"):
             raise ValueError(f"unknown solver {self.solver!r}")
-        if self.edge_backend not in ("xla", "pallas"):
-            raise ValueError(f"unknown edge_backend {self.edge_backend!r}")
+        if self.edge_backend != "xla":
+            raise ValueError(
+                f"edge_backend={self.edge_backend!r}: only 'xla' exists — "
+                "the per-edge Pallas kernels were retired in round 4 "
+                "(measured tie, BENCH_PALLAS.json; ops/fused_pcg.py is "
+                "the winning kernel path)"
+            )
         if self.pcg_backend not in ("auto", "fused", "xla"):
             raise ValueError(f"unknown pcg_backend {self.pcg_backend!r}")
         if self.pcg_coarse_group2 < 1:

@@ -16,10 +16,9 @@ Two interchangeable backends produce these blocks:
 
 * ``"xla"``  — batched jnp formulas (ops/residuals.py + ops/blockmath.py),
   fully fused by XLA; the correctness oracle.
-* ``"pallas"`` — one fused Pallas kernel per edge type in *component-major*
-  layout (``[channels, E]``: scalar channels on sublanes, edges on lanes) so
-  every VPU lane does useful work and the whole linearization is a single
-  VMEM-resident pass (ops/pallas_edges.py).
+* ``"pallas"`` — RETIRED in round 4: three rounds of recorded A/Bs
+  (BENCH_PALLAS.json) were statistical ties, so the standalone per-edge
+  kernels were deleted; ops/fused_pcg.py holds the kernels that win.
 
 Downstream accumulation is the deterministic gather-plan/segment-sum in
 ops/schur.py either way — never atomics (compare KernelSe2.cu:83-110).
@@ -88,10 +87,12 @@ def odom_edge_blocks(
             "exact Jacobians go through ops.residuals directly"
         )
     if backend == "pallas":
-        from toyslam_tpu.ops import pallas_edges
-
-        return pallas_edges.odom_edge_blocks_pallas(
-            poses, i, j, meas, info, mask, huber_delta
+        raise ValueError(
+            "the standalone per-edge Pallas kernels were retired in round"
+            " 4: three rounds of recorded A/Bs (BENCH_PALLAS.json) showed"
+            " them statistically tied with the XLA-fused linearization,"
+            " and the fused/banded PCG kernels (ops/fused_pcg.py) are the"
+            " TPU-kernel path that actually wins"
         )
     od = res_ops.eval_odom_edges(
         poses, i, j, meas, info, mask, huber_delta, exact=False
@@ -115,11 +116,7 @@ def lm_edge_blocks(
     backend: str = "xla",
 ) -> LmBlocks:
     if backend == "pallas":
-        from toyslam_tpu.ops import pallas_edges
-
-        return pallas_edges.lm_edge_blocks_pallas(
-            poses, landmarks, pose_idx, lm_idx, meas, info, mask, huber_delta
-        )
+        raise ValueError("pallas edge backend retired (see above)")
     lme = res_ops.eval_landmark_edges(
         poses, landmarks, pose_idx, lm_idx, meas, info, mask, huber_delta
     )

@@ -4,7 +4,7 @@
 weighted Hessian/gradient blocks for every edge at once; ``backend``
 selects the batched-XLA formulas (the correctness oracle, built on
 ops/residuals3d.py) or the fused component-major Pallas TPU kernel
-(ops/pallas_edges.py::reproj_edge_blocks_pallas).  The reference has no 3D
+(the per-edge Pallas variant was retired in round 4).  The reference has no 3D
 capability; the CUDA analogue being replaced is the per-edge landmark
 kernel remote/cuda/optimizer/kernels/KernelSe2Point2.cu:46-155 lifted to
 6/3-dof blocks.
@@ -50,11 +50,9 @@ def reproj_edge_blocks(
     backend: str = "xla",
 ) -> ReprojBlocks:
     if backend == "pallas":
-        from toyslam_tpu.ops import pallas_edges
-
-        return pallas_edges.reproj_edge_blocks_pallas(
-            poses, landmarks, intrinsics, pose_idx, lm_idx, meas, info,
-            mask, huber_delta,
+        raise ValueError(
+            "the standalone per-edge Pallas kernels were retired in "
+            "round 4 (see ops/edge_blocks.py)"
         )
     rp = res3.eval_reproj_edges(
         poses, landmarks, intrinsics, pose_idx, lm_idx, meas, info, mask,

@@ -517,20 +517,28 @@ def _make_band_kernel(nlevels: int, has_coarse: bool, chunk_iters: int,
                 s *= 2
             z = _bmv(binv_ref[:], t)
             if has_coarse:
-                # batched restriction/prolongation: ONE rmat product each
-                # way ([dp,Np]@[Np,nc] and [dp,nc]@rmat^T) instead of
-                # 2*dp single-row products — fewer materialized rmat
-                # operand copies on the Mosaic value stack
-                rc = _dot(r, rmat_ref[:], _DN_STD)          # [dp, nc]
+                # row-wise [1, N] dots — the resident kernel's PROVEN
+                # pattern (a batched [dp, Np] variant crashed Mosaic).
+                # The restriction matrix arrives TRANSPOSED [nc, Np] (lane
+                # dim must be the long aligned axis — as [Np, nc] every
+                # dot staged an internally-relayouted copy on the value
+                # stack).  NOTE the coarse size cap in fused_mode: every
+                # dot SITE against the [nc, Np] operand reserves its own
+                # ~operand-sized spill slot (measured: 6 row-dot sites
+                # kept ~100 MB reserved at nc=320 regardless of dtype,
+                # hoisting, or chunking; multi-row batched lhs crashes
+                # Mosaic outright), so the in-kernel coarse must stay
+                # small enough that 6 staged copies fit.
+                rmat_t = rmat_ref[:]
+                rc = [_dot(r[b:b + 1, :], rmat_t, _DN_T)
+                      for b in range(dp)]
                 rows = []
                 for a in range(dp):
-                    za = rc[0:1] * 0.0
+                    za = rc[0] * 0.0
                     for b in range(dp):
-                        za = za + _dot(rc[b:b + 1], cinv_ref[a, b],
-                                       _DN_T)
-                    rows.append(za)
-                zc = jnp.concatenate(rows, axis=0)          # [dp, nc]
-                z = z + _dot(zc, rmat_ref[:], _DN_T)        # [dp, Np]
+                        za = za + _dot(rc[b], cinv_ref[a, b], _DN_T)
+                    rows.append(_dot(za, rmat_t, _DN_STD))
+                z = z + jnp.concatenate(rows, axis=0)
             return z
 
         atol2 = atol2_ref[0, 0]
@@ -547,34 +555,42 @@ def _make_band_kernel(nlevels: int, has_coarse: bool, chunk_iters: int,
         stop0 = stop_ref[0, 0] > 0
 
         def cond(carry):
-            return carry[0] < chunk_iters
+            # chunk_iters PCG trips + ONE extra trip that reuses the same
+            # inlined matvec (on x instead of p) for the end-of-chunk TRUE
+            # residual — a second standalone matvec(x) call doubled the
+            # kernel's inlined stream machinery and with it the register
+            # allocator's spill reservation
+            return carry[0] < chunk_iters + 1
 
         def body(carry):
-            i, x, r, p, rz, rr, stop, it = carry
-            ap = matvec(p)
+            i, x, r, p, rz, rr, stop, it, rt = carry
+            last = i >= chunk_iters
+            av = matvec(jnp.where(last, x, p))
+            rt = jnp.where(last, rhs_ref[:] - av, rt)
+            ap = av
             pap = jnp.sum(p * ap)
-            breakdown = ~(pap > 0.0) | ~jnp.isfinite(pap)
+            breakdown = (~(pap > 0.0) | ~jnp.isfinite(pap)) & ~last
             stop = stop | breakdown
-            done = stop | (rr <= atol2) | (it >= maxit)
+            done = last | stop | (rr <= atol2) | (it >= maxit)
             alpha = jnp.where(done, 0.0, rz / jnp.where(done, 1.0, pap))
             x = x + alpha * p
             r = r - alpha * ap
             z = precond(r)
             rz_new = jnp.sum(r * z)
-            rr = jnp.sum(r * r)
+            rr = jnp.where(last, rr, jnp.sum(r * r))
             safe_rz = jnp.where(rz == 0.0, 1.0, rz)
             beta = jnp.where(done, 0.0, rz_new / safe_rz)
             p = jnp.where(done, p, z + beta * p)
             rz = jnp.where(done, rz, rz_new)
             it = it + jnp.where(done, 0, 1)
-            return (i + 1, x, r, p, rz, rr, stop, it)
+            return (i + 1, x, r, p, rz, rr, stop, it, rt)
 
         # while_loop, not fori: compile-once body (see hoisting note)
-        _, x, r, p, rz, rr, stop, it = jax.lax.while_loop(
+        _, x, r, p, rz, rr, stop, it, r_true = jax.lax.while_loop(
             cond, body,
-            (jnp.asarray(0, _i32), x, r, p, rz, rr, stop0, it0),
+            (jnp.asarray(0, _i32), x, r, p, rz, rr, stop0, it0,
+             jnp.zeros_like(x)),
         )
-        r_true = rhs_ref[:] - matvec(x)
         x_out_ref[:] = x
         r_out_ref[:] = r
         p_out_ref[:] = p
@@ -653,10 +669,20 @@ def band_fused_pcg(
 
     atol2_s = jnp.reshape(atol2, (1, 1)).astype(_f32)
     maxit_s = jnp.full((1, 1), max_iters, _i32)
-    pcr = (pre.alphas, pre.gammas) if nlevels else ()
+    # PCR coefficient planes ride in bf16 for the band kernel: their apply
+    # is elementwise (mixed bf16*f32 promotes to f32, no dot dtype
+    # restrictions), the factorization is a fixed linear operator with
+    # bf16-rounded entries — preconditioner-grade — and the 10.3 MB of
+    # f32 planes were half the remaining VMEM overshoot at 10k
+    pcr = (
+        (pre.alphas.astype(jnp.bfloat16),
+         pre.gammas.astype(jnp.bfloat16))
+        if nlevels else ()
+    )
     extra = pcr + (pre.binv,)
     if has_coarse:
-        extra = extra + (pre.cinv, pre.rmat)
+        # rmat transposed for the band kernel (lane dim = Np, see kernel)
+        extra = extra + (pre.cinv, pre.rmat.T)
     u_args = tuple(op.u[a] for a in range(dp)) if mw else ()
 
     def cond(st):
@@ -952,9 +978,10 @@ def build_fused_precond(
     if local_kind == "tridiag":
         upper = schur.chain_upper(d, graph.odom.i, graph.odom.j, n)
         pcr = schur.build_tridiag_precond(s_diag, upper)
-        alphas = jnp.transpose(pcr.alphas, (0, 2, 3, 1))
-        gammas = jnp.transpose(pcr.gammas, (0, 2, 3, 1))
-        binv = _planes(pcr.binv)
+        # TridiagPrecond is already plane-layout (see schur.py)
+        alphas = pcr.alphas
+        gammas = pcr.gammas
+        binv = pcr.binv
     else:  # jacobi
         alphas = jnp.zeros((0, dp, dp, n), _f32)
         gammas = alphas
@@ -1019,10 +1046,16 @@ def fused_mode(cfg, graph, axis_name) -> str | None:
         return None
     mwb = band.n_wide * dl + dp * c
     b_dl = band.chunk_b * dl
+    # every dot SITE against the [nc, Np] restriction operand reserves a
+    # ~operand-sized register-spill slot (2*dp sites per precond call;
+    # measured ~100 MB at nc=320/n=10240, vmem OOM) — the in-kernel
+    # coarse must be small; larger coarse groups fall back to XLA
+    coarse_spill = 6 * nc * n if nc else 0
     band_vmem = 4 * (
         dp * n * mwb                                 # wide+closure columns
         + 2 * band.k_windows * dp * band.w_row * b_dl  # 2x chunk buffers
         + 2 * dp * (n + band.w_row)                  # xext + wacc scratch
+        + coarse_spill
         + shared
     )
     if band_vmem <= 2 * VMEM_BUDGET_BYTES:

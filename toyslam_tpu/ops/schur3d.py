@@ -38,8 +38,8 @@ def assemble_blocks_3d(
     """Sparse 6/3 block system for the SE(3) BA problem.
 
     ``edge_backend`` selects the reprojection-edge linearization: "xla"
-    (batched formulas, the oracle) or "pallas" (fused component-major TPU
-    kernel, ops/pallas_edges.py::reproj_edge_blocks_pallas).
+    (batched formulas; the per-edge Pallas variant was retired in
+    round 4 after three rounds of measured ties).
     """
     n, m = graph.num_poses, graph.num_landmarks
 

@@ -103,11 +103,7 @@ def distributed_linearize_solve(
     """
     inner = schur.schur_linearize_solve(cfg, axis_name=axis)
     n_dev = mesh.shape[axis]
-    # Pallas kernels under shard_map trip the vma checker (internal
-    # constants are unvarying; jax suggests check_vma=False as the
-    # workaround).  Equivalence with the single-device solve is
-    # enforced numerically in tests/test_distributed.py instead.
-    check_vma = cfg.edge_backend != "pallas"
+    check_vma = True
 
     sharded_noplan = shard_map(
         inner,
@@ -179,9 +175,7 @@ def distributed_linearize_solve_3d(
         mesh=mesh,
         in_specs=(specs, P()),
         out_specs=_OUT_SPECS,
-        # mirror the 2D path: the Pallas kernels trip the vma checker
-        # (ADVICE r2) — equivalence is enforced numerically in tests
-        check_vma=cfg.edge_backend != "pallas",
+        check_vma=True,
     )
 
     n_dev = mesh.shape[axis]

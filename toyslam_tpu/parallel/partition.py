@@ -964,7 +964,7 @@ def partitioned_linearize_solve(
     # EXCEPT the camera intrinsics of SE(3) graphs, which replicate
     out_specs = (P(axis), P(axis), P(),
                  SolveStats(pcg_iters=P(), pcg_residual=P()))
-    check_vma = cfg.edge_backend != "pallas"
+    check_vma = True
 
     def solve(graph: FactorGraph2D, lam: jax.Array):
         specs = jax.tree.map(lambda _: P(axis), graph)
