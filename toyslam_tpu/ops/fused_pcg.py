@@ -978,10 +978,9 @@ def build_fused_precond(
     if local_kind == "tridiag":
         upper = schur.chain_upper(d, graph.odom.i, graph.odom.j, n)
         pcr = schur.build_tridiag_precond(s_diag, upper)
-        # TridiagPrecond is already plane-layout (see schur.py)
-        alphas = pcr.alphas
-        gammas = pcr.gammas
-        binv = pcr.binv
+        alphas = jnp.transpose(pcr.alphas, (0, 2, 3, 1))
+        gammas = jnp.transpose(pcr.gammas, (0, 2, 3, 1))
+        binv = _planes(pcr.binv)
     else:  # jacobi
         alphas = jnp.zeros((0, dp, dp, n), _f32)
         gammas = alphas

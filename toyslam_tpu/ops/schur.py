@@ -468,16 +468,17 @@ class TridiagPrecond(NamedTuple):
     (decoupled) diagonal, inverted.  Apply = L shift-multiply-adds on
     ``r`` followed by one block matvec.
 
-    Stored in COMPONENT-PLANE layout ``[d, d, N]`` (lane dim = N): the
-    block layout's (d, d) trailing dims tile to (8, 128) on TPU, and the
-    L-level apply on [N,d,d] arrays measured 0.76 ms at N=10k — the
-    plane form is lane-parallel VPU work and feeds ops/fused_pcg.py
-    without relayout.
+    Stored in BLOCK layout ``[N, d, d]``: a plane-layout apply was tried
+    (round 4) and measured SLOWER end-to-end — the [N,d] <-> [d,N] state
+    transposes it needs per PCG iteration cost more than the small-block
+    ops they removed (tuned 10k: 50.2 -> 38.5 GN-iter/s).  Only the BUILD
+    runs in planes (build_tridiag_planes), where there is no per-iteration
+    transpose to pay.
     """
 
-    alphas: jax.Array  # [L, d, d, N]
-    gammas: jax.Array  # [L, d, d, N]
-    binv: jax.Array    # [d, d, N]
+    alphas: jax.Array  # [L, N, d, d]
+    gammas: jax.Array  # [L, N, d, d]
+    binv: jax.Array    # [N, d, d]
 
 
 def _pl_shift_down(x: jax.Array, s: int) -> jax.Array:
@@ -599,40 +600,32 @@ def build_tridiag_precond(
     ``diag [N,d,d]``; ``upper[v] [N,d,d]`` is the (v, v+1) block (row v of
     the superdiagonal; the last row must be zero).  Boundary handling is by
     zero fill: out-of-range neighbors contribute zero coefficients.
-    Runs and RETURNS in plane layout (build_tridiag_planes /
-    TridiagPrecond docstring).
+    Internally runs in plane layout (build_tridiag_planes) and transposes
+    at the boundary — two cheap transposes ONCE PER BUILD instead of ~100
+    small-block ops per level on TPU-hostile (N, d, d) layouts.
     """
     al, ga, binv = build_tridiag_planes(
         jnp.transpose(diag, (1, 2, 0)), jnp.transpose(upper, (1, 2, 0))
     )
-    return TridiagPrecond(alphas=al, gammas=ga, binv=binv)
-
-
-def _pl_mv(p: jax.Array, x: jax.Array) -> jax.Array:
-    """Block matvec on planes: [d,d,N] x [d,N] -> [d,N] (lane-parallel)."""
-    d = p.shape[0]
-    return jnp.stack([
-        sum(p[a, b] * x[b] for b in range(d)) for a in range(d)
-    ])
+    return TridiagPrecond(
+        alphas=jnp.transpose(al, (0, 3, 1, 2)),
+        gammas=jnp.transpose(ga, (0, 3, 1, 2)),
+        binv=jnp.transpose(binv, (2, 0, 1)),
+    )
 
 
 def tridiag_apply(pre: TridiagPrecond, r: jax.Array) -> jax.Array:
-    """Solve ``M z = r`` using the PCR factorization (exact up to f32).
-
-    Runs in plane layout — one [N,d] transpose in/out instead of
-    ~log2(N) levels of small-trailing-dim block ops (measured 0.76 ms ->
-    plane form at N=10k on v5e)."""
+    """Solve ``M z = r`` using the PCR factorization (exact up to f32)."""
     levels = pre.alphas.shape[0]
-    t = r.T                                   # [d, N]
     s = 1
     for l in range(levels):
-        t = (
-            t
-            + _pl_mv(pre.alphas[l], _pl_shift_down(t, s))
-            + _pl_mv(pre.gammas[l], _pl_shift_up(t, s))
+        r = (
+            r
+            + bm.mv(pre.alphas[l], _shift_down(r, s))
+            + bm.mv(pre.gammas[l], _shift_up(r, s))
         )
         s *= 2
-    return _pl_mv(pre.binv, t).T
+    return bm.mv(pre.binv, r)
 
 
 def chain_upper(
