@@ -47,10 +47,18 @@ iterations; the per-iteration critical path is 2 MXU matvecs + O(30)
 vector ops on ``[3, Np]`` — about 10 kernel-internal ops instead of ~100
 XLA kernel launches.
 
+Scale.  Past the VMEM budget the dense V slabs give way to the STREAMED
+BANDED operator (``BandOperator`` + ops/band_plan.py): landmark columns
+live in K fixed-width 128-aligned pose windows per base chunk, stored as
+an HBM tile stack that one matvec streams once through a double-buffered
+VMEM window (measured 855-916 GB/s) with two MXU dots per (chunk,
+window) — same math, same chunked-loop/true-residual-exit control flow.
+
 Gating.  Everything the gate needs is static at trace time (array shapes,
-config, and the *presence* of plan.fused — a pytree-structural property),
-so `fused_supported` is safely evaluated inside jit tracing; unsupported
-configurations fall back to the XLA path with identical semantics.
+config, and the presence of plan.fused / plan.band — pytree-structural
+properties), so ``fused_mode`` ("resident" | "band" | None) is safely
+evaluated inside jit tracing; unsupported configurations fall back to the
+XLA path with identical semantics.
 """
 
 from __future__ import annotations
