@@ -33,7 +33,8 @@ def main():
         chol = cb(d, hll_inv)
         r = jnp.ones((graph.num_poses, 3), jnp.float32)
         ca = jax.jit(lambda c, r, grp=grp: schur.coarse_apply(c, grp, r))
-        report(f"coarse apply (cho_solve) g={grp}", ca, chol, r, reps=30)
+        report(f"coarse apply (explicit inverse) g={grp}", ca, chol, r,
+               reps=30)
 
         # inverse-matmul variant
         def apply_inv(sci, r, grp=grp):
