@@ -91,6 +91,100 @@ def test_band_solve_matches_xla(big_graph, precond):
     assert int(stats.pcg_iters) > 0
 
 
+def test_fold_coarse_operand_algebra():
+    """The FoldCoarse operands (fold restriction slots, streamed c2t
+    reorder, selector prolongation) reproduce schur.coarse_apply exactly
+    (up to the bf16 c2t rounding) — pure host-side algebra, no kernel."""
+    np_, dp, group = 1024, 3, 32
+    nc = np_ // group
+    fold = fused_pcg._fold_layout(np_, dp, nc)
+    assert fold is not None and fold.group == group
+
+    rng = np.random.default_rng(0)
+    m = rng.standard_normal((nc * dp, nc * dp)).astype(np.float32)
+    cinv = ((m + m.T) / 2) / np.sqrt(nc * dp)   # comp-major (a*nc + g)
+    cinv_b = jnp.asarray(
+        cinv.reshape(dp, nc, dp, nc).transpose(0, 2, 1, 3)
+    )
+    r = rng.standard_normal((dp, np_)).astype(np.float32)
+
+    sseg, asel, bsel = map(np.asarray, fused_pcg._fold_selectors(fold, dp))
+    c2t = np.asarray(
+        fused_pcg._fold_c2t(cinv_b, fold, dp, np_), np.float32
+    )                                            # [n_cc, dp, ncp, cw]
+
+    # kernel algebra, emulated in numpy
+    rc = sum(
+        r[a].reshape(fold.nr, 128) @ sseg[a] for a in range(dp)
+    )
+    rcv = rc.reshape(-1)
+    zacc = np.zeros((dp, fold.ncp), np.float32)
+    for c in range(fold.n_cc):
+        xc = rcv[c * fold.cw: (c + 1) * fold.cw]
+        for a in range(dp):
+            zacc[a] += c2t[c, a] @ xc
+    out = np.zeros((dp, np_), np.float32)
+    for a in range(dp):
+        zf = zacc[a].reshape(fold.nblk, 128)
+        blocks = []
+        for k2 in range(fold.nblk):
+            blk = (asel * zf[k2: k2 + 1]) @ bsel
+            if k2 == fold.nblk - 1:
+                blk = blk[: fold.rows_last]
+            blocks.append(blk)
+        out[a] = np.concatenate(blocks, axis=0).reshape(-1)
+
+    # oracle: group sums -> explicit inverse -> broadcast
+    want = np.asarray(
+        schur.coarse_apply(jnp.asarray(cinv), group, jnp.asarray(r.T))
+    ).T
+    np.testing.assert_allclose(
+        out, want, atol=1e-2 * np.abs(want).max()  # bf16 c2t rounding
+    )
+
+
+@pytest.fixture(scope="module")
+def fold_graph():
+    # padded pose count 2048: a multiple of 128 (fold-coarse eligible)
+    graph, _, _ = synthetic.make_large_problem(
+        num_poses=2040, num_landmarks=1500, obs_per_pose=5, seed=4,
+        pose_bucket=64, landmark_bucket=64, edge_bucket=256,
+    )
+    return attach_plan(graph)
+
+
+def test_band_solve_fold_coarse_matches_xla(fold_graph):
+    """Band solve with the STREAMED fold coarse (group=32 -> the tuned
+    grid config's coarse size class) vs the XLA path.  The in-kernel
+    coarse rides bf16, so the PCG paths differ slightly — both sides
+    converge to S^-1 rhs at tol, compared there."""
+    assert fold_graph.num_poses % 128 == 0
+    cfg = _cfg(pcg_precond="tridiag+coarse", pcg_coarse_group=32,
+               pcg_tol=1e-8)
+    assert fused_pcg.fused_mode(cfg, fold_graph, None) == "band"
+    lam = jnp.asarray(1e-3, jnp.float32)
+
+    sys_b = schur.assemble_blocks(fold_graph, cfg.huber_delta)
+    dx_p_b, dx_l_b, stats = fused_pcg.fused_schur_solve(
+        sys_b, fold_graph, lam, cfg.pcg_tol, cfg.pcg_max_iters,
+        cfg.pcg_precond, cfg.pcg_coarse_group, cfg.pcg_fused_chunk,
+        cfg.pcg_restart_every, mode="band",
+    )
+    dx_p_x, dx_l_x, _ = schur.schur_solve(
+        sys_b, fold_graph, lam, cfg.pcg_tol, cfg.pcg_max_iters,
+        precond=cfg.pcg_precond, coarse_group=cfg.pcg_coarse_group,
+    )
+    ref = np.abs(np.asarray(dx_p_x)).max()
+    np.testing.assert_allclose(
+        np.asarray(dx_p_b), np.asarray(dx_p_x), atol=1e-3 * ref
+    )
+    np.testing.assert_allclose(
+        np.asarray(dx_l_b), np.asarray(dx_l_x),
+        atol=1e-3 * max(np.abs(np.asarray(dx_l_x)).max(), 1.0),
+    )
+    assert int(stats.pcg_iters) > 0
+
+
 def test_band_operator_matvec_oracle(big_graph):
     """The streamed operator's matvec (via one solve iteration structure)
     is exercised above; here check the TILE SCATTER itself reconstructs

@@ -97,6 +97,124 @@ def _dot(a, b, dn):
     )
 
 
+def _dot_bf16(a, b, dn):
+    """bf16 x bf16 -> f32 dot.  No precision override: HIGHEST on bf16
+    operands requests multi-pass emulation Mosaic rejects for some shapes;
+    native bf16 MXU passes are exactly what the fold coarse wants."""
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=dn, preferred_element_type=_f32,
+    )
+
+
+class FoldCoarse(NamedTuple):
+    """Static layout of the in-kernel streamed Galerkin coarse.
+
+    Mosaic's register allocator reserves a ~operand-sized spill slot per
+    dot SITE, which capped the resident ``rmat`` in-kernel coarse at
+    nc~64 (the tuned 10k config wants nc=320).  The fold path removes the
+    large operands entirely:
+
+    * restriction: ``reshape([1,Np] -> [Np/128,128])`` (a relayout Mosaic
+      supports — probed) then one tiny 0/1 segment-sum dot per component,
+      giving group sums for ``group | 128`` in a [nr, 128] slot layout
+      (slot ``u = a*16 + j``, ``j`` = group-within-row);
+    * coarse matvec: the reordered explicit inverse ``c2t`` is STREAMED
+      from HBM in double-buffered [dp, ncp, cw] chunks (the band tile
+      machinery's pattern) — dot operands are ~1 MB chunk buffers;
+    * prolongation: per 128-row block, ``(asel * v) @ bsel`` with tiny
+      0/1 selectors reads the compact coarse solution back to pose lanes
+      without any unsupported compaction reshape.
+    """
+
+    nr: int          # Np / 128 fold rows
+    ncp: int         # nc padded to a multiple of 128
+    cw: int          # stream chunk width (lanes of the t axis)
+    n_cc: int        # Np / cw stream chunks
+    nblk: int        # ncp / 128 prolongation blocks
+    rows_last: int   # fold rows covered by the last block
+    group: int       # coarse group size (divides 128)
+
+
+def _fold_layout(np_: int, dp: int, nc: int) -> FoldCoarse | None:
+    """Static fold-coarse layout, or None when the shape doesn't admit
+    one (Np not lane-aligned, or the group doesn't divide a lane row)."""
+    if nc == 0 or np_ % 128 or np_ % nc:
+        return None
+    group = np_ // nc
+    if group not in (8, 16, 32, 64, 128) or dp > 8:
+        return None
+    ncp = 128 * (-(-nc // 128))
+    cw = None
+    for k in range(np_ // 128, 0, -1):
+        c = 128 * k
+        if np_ % c:
+            continue
+        if dp * ncp * c * 2 <= 4 * 2**20 and np_ // c >= 2:
+            cw = c
+            break
+    if cw is None:          # tiny graphs: single-chunk stream
+        cw = np_
+    nr = np_ // 128
+    rho = group             # fold rows per prolongation block (128/gamma)
+    nblk = ncp // 128
+    return FoldCoarse(
+        nr=nr, ncp=ncp, cw=cw, n_cc=np_ // cw, nblk=nblk,
+        rows_last=nr - (nblk - 1) * rho, group=group,
+    )
+
+
+def _fold_selectors(fold: FoldCoarse, dp: int):
+    """Static 0/1 operands: sseg [dp,128,128] restriction, asel
+    [group,128] / bsel [128,128] prolongation selectors.  The selector
+    product picks, for output pose lane l of fold-row c' within a block,
+    exactly ``m = gamma*c' + l//group`` of the coarse row v:
+    asel[c',m]=1 iff m//gamma==c', bsel[m,l]=1 iff m%gamma==l//group."""
+    import numpy as np
+
+    g = fold.group
+    gamma = 128 // g
+    sseg = np.zeros((dp, 128, 128), np.float32)
+    lanes = np.arange(128)
+    for a in range(dp):
+        sseg[a, lanes, a * 16 + lanes // g] = 1.0
+    asel = np.zeros((g, 128), np.float32)
+    for c in range(g):
+        asel[c, gamma * c: gamma * (c + 1)] = 1.0
+    bsel = np.zeros((128, 128), np.float32)
+    for m in range(128):
+        bsel[m, (m % gamma) * g: (m % gamma + 1) * g] = 1.0
+    return jnp.asarray(sseg), jnp.asarray(asel), jnp.asarray(bsel)
+
+
+def _fold_c2t(cinv_b: jax.Array, fold: FoldCoarse, dp: int,
+              np_: int) -> jax.Array:
+    """Reorder the explicit coarse inverse [dp,dp,nc,nc] into the
+    streamed bf16 stack [n_cc, dp, ncp, cw]:
+
+        c2t[a2, g2, t = 128c + 16a + j] = cinv[a2, a, g2, gamma*c + j]
+
+    so the coarse matvec is a lane-contraction of the restricted residual
+    (slot layout above) against per-chunk [ncp, cw] tiles."""
+    import numpy as np
+
+    nc = cinv_b.shape[-1]
+    gamma = 128 // fold.group
+    cg, ag, jg = np.meshgrid(
+        np.arange(fold.nr), np.arange(dp), np.arange(gamma),
+        indexing="ij",
+    )
+    t = (128 * cg + 16 * ag + jg).ravel()
+    gsrc = (gamma * cg + jg).ravel()
+    asrc = ag.ravel()
+    vals = cinv_b[:, asrc, :, gsrc]          # [T, dp(a2), nc(g2)]
+    vals = jnp.transpose(vals, (1, 2, 0))    # [dp, nc, T]
+    c2t = jnp.zeros((dp, fold.ncp, np_), jnp.bfloat16)
+    c2t = c2t.at[:, :nc, t].set(vals.astype(jnp.bfloat16))
+    return jnp.transpose(
+        c2t.reshape(dp, fold.ncp, fold.n_cc, fold.cw), (2, 0, 1, 3)
+    )
+
+
 class FusedOperator(NamedTuple):
     """The damped Schur operator in fused ``T - V V^T`` form."""
 
@@ -393,7 +511,7 @@ class BandOperator(NamedTuple):
 
 def _make_band_kernel(nlevels: int, has_coarse: bool, chunk_iters: int,
                       dp: int, n_bchunks: int, k_win: int, w_row: int,
-                      b_dl: int, mw: int):
+                      b_dl: int, mw: int, fold: FoldCoarse | None = None):
     """Chunk kernel for the banded/streamed operator.
 
     Identical PCG control flow to ``_make_kernel``; only the ``V V^T``
@@ -430,13 +548,23 @@ def _make_band_kernel(nlevels: int, has_coarse: bool, chunk_iters: int,
             al_ref = ga_ref = None
         binv_ref = rest[0]
         rest = rest[1:]
-        if has_coarse:
+        if has_coarse and fold is not None:
+            sseg_ref, asel_ref, bsel_ref = rest[0], rest[1], rest[2]
+            rest = rest[3:]
+        elif has_coarse:
             cinv_ref, rmat_ref = rest[0], rest[1]
             rest = rest[2:]
         tiles_hbm = rest[0]
+        rest = rest[1:]
+        if has_coarse and fold is not None:
+            c2t_hbm = rest[0]
+            rest = rest[1:]
         (x_out_ref, r_out_ref, p_out_ref, rt_out_ref, it_out_ref,
-         rz_out_ref, stop_out_ref, rr_out_ref) = rest[1:9]
-        (xext, wacc, buf, sem) = rest[9:]
+         rz_out_ref, stop_out_ref, rr_out_ref) = rest[:8]
+        rest = rest[8:]
+        (xext, wacc, buf, sem) = rest[:4]
+        if has_coarse and fold is not None:
+            rcv_ref, zacc, cbuf, csem = rest[4:]
 
         np_ = x_ref.shape[1]
 
@@ -524,7 +652,65 @@ def _make_band_kernel(nlevels: int, has_coarse: bool, chunk_iters: int,
                 )
                 s *= 2
             z = _bmv(binv_ref[:], t)
-            if has_coarse:
+            if has_coarse and fold is not None:
+                # streamed fold coarse (see FoldCoarse): no large dot
+                # operands anywhere — the explicit inverse rides the same
+                # double-buffered HBM stream as the band tiles
+                rc = None
+                for a in range(dp):
+                    fa = jnp.reshape(r[a:a + 1, :], (fold.nr, 128))
+                    d_ = _dot(fa, sseg_ref[a], _DN_STD)
+                    rc = d_ if rc is None else rc + d_
+                rcv_ref[...] = jnp.reshape(
+                    rc, (1, np_)).astype(jnp.bfloat16)
+
+                def cdma(slot, ci):
+                    return pltpu.make_async_copy(
+                        c2t_hbm.at[ci], cbuf.at[slot], csem.at[slot]
+                    )
+
+                zacc[...] = jnp.zeros((dp, fold.ncp), _f32)
+                cdma(0, 0).start()
+
+                def ccond(c):
+                    return c < fold.n_cc
+
+                def cbody(c):
+                    slot = jax.lax.rem(c, 2)
+
+                    @pl.when(c + 1 < fold.n_cc)
+                    def _():
+                        cdma(jax.lax.rem(c + 1, 2), c + 1).start()
+
+                    cdma(slot, c).wait()
+                    off = pl.multiple_of(c * fold.cw, 128)
+                    xc = rcv_ref[:, pl.ds(off, fold.cw)]
+                    for a in range(dp):
+                        zacc[a:a + 1, :] += _dot_bf16(
+                            xc, cbuf[slot, a], _DN_T
+                        )
+                    return c + 1
+
+                jax.lax.while_loop(ccond, cbody, jnp.asarray(0, _i32))
+                asel = asel_ref[:]
+                bsel = bsel_ref[:]
+                rows = []
+                for a in range(dp):
+                    zf = jnp.reshape(
+                        zacc[a:a + 1, :], (fold.nblk, 128)
+                    )
+                    blocks = []
+                    for k2 in range(fold.nblk):
+                        v = zf[k2: k2 + 1, :]
+                        blk = _dot(asel * v, bsel, _DN_STD)
+                        if k2 == fold.nblk - 1:
+                            blk = blk[: fold.rows_last]
+                        blocks.append(blk)
+                    rows.append(jnp.reshape(
+                        jnp.concatenate(blocks, axis=0), (1, np_)
+                    ))
+                z = z + jnp.concatenate(rows, axis=0)
+            elif has_coarse:
                 # row-wise [1, N] dots — the resident kernel's PROVEN
                 # pattern (a batched [dp, Np] variant crashed Mosaic).
                 # The restriction matrix arrives TRANSPOSED [nc, Np] (lane
@@ -627,6 +813,9 @@ def band_fused_pcg(
     dp, np_ = rhs2.shape
     n_bchunks, k_win, _, w_row, b_dl = op.tiles.shape
     mw = 0 if op.u is None else op.u.shape[1]
+    fold = (
+        _fold_layout(np_, dp, pre.cinv.shape[-1]) if has_coarse else None
+    )
 
     rhs_norm2 = jnp.sum(rhs2 * rhs2)
     atol2 = (tol ** 2) * rhs_norm2
@@ -635,7 +824,7 @@ def band_fused_pcg(
 
     kernel = _make_band_kernel(
         nlevels, has_coarse, chunk_iters, dp, n_bchunks, k_win, w_row,
-        b_dl, mw,
+        b_dl, mw, fold,
     )
 
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)  # noqa: E731
@@ -645,8 +834,11 @@ def band_fused_pcg(
         + [vmem()] * (5 + (dp if mw else 0) + 3)
         + ([vmem()] * 2 if nlevels else [])
         + [vmem()]
-        + ([vmem()] * 2 if has_coarse else [])
+        + ([vmem()] * (3 if fold is not None else 2)
+           if has_coarse else [])
         + [pl.BlockSpec(memory_space=pltpu.HBM)]   # tiles stay in HBM
+        + ([pl.BlockSpec(memory_space=pltpu.HBM)]  # streamed coarse c2t
+           if fold is not None else [])
     )
     call = pl.pallas_call(
         kernel,
@@ -668,7 +860,13 @@ def band_fused_pcg(
             pltpu.VMEM((dp, np_ + w_row), _f32),            # wacc
             pltpu.VMEM((2, k_win, dp, w_row, b_dl), _f32),  # tile buffers
             pltpu.SemaphoreType.DMA((2,)),
-        ],
+        ] + ([
+            pltpu.VMEM((1, np_), jnp.bfloat16),             # rcv
+            pltpu.VMEM((dp, fold.ncp), _f32),               # zacc
+            pltpu.VMEM((2, dp, fold.ncp, fold.cw),
+                       jnp.bfloat16),                       # coarse buffers
+            pltpu.SemaphoreType.DMA((2,)),
+        ] if fold is not None else []),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=VMEM_LIMIT_BYTES,
         ),
@@ -688,7 +886,12 @@ def band_fused_pcg(
         if nlevels else ()
     )
     extra = pcr + (pre.binv,)
-    if has_coarse:
+    tail = (op.tiles,)
+    if has_coarse and fold is not None:
+        sseg, asel, bsel = _fold_selectors(fold, dp)
+        extra = extra + (sseg, asel, bsel)
+        tail = tail + (_fold_c2t(pre.cinv, fold, dp, np_),)
+    elif has_coarse:
         # rmat transposed for the band kernel (lane dim = Np, see kernel)
         extra = extra + (pre.cinv, pre.rmat.T)
     u_args = tuple(op.u[a] for a in range(dp)) if mw else ()
@@ -707,7 +910,7 @@ def band_fused_pcg(
             op.win_off, rhs2, x, r, p, rt,
         ) + u_args + (
             op.tdiag, op.tupper, op.tlower,
-        ) + extra + (op.tiles,)
+        ) + extra + tail
         x, r, p, rt, it, rz, stop, rr = call(*args)
         return (x, r, p, rt, it, rz, stop, rr, k + 1)
 
@@ -1039,12 +1242,13 @@ def fused_mode(cfg, graph, axis_name) -> str | None:
     nlevels = max(1, (n - 1).bit_length()) if local_kind == "tridiag" else 0
     nc = -(-n // cfg.pcg_coarse_group) if coarse_kind == "coarse" else 0
     dd = dp * dp
-    shared = (
+    shared_base = (
         4 * dd * n                 # T planes + binv
         + 2 * nlevels * dd * n     # PCR coefficient planes
-        + dd * nc * nc + n * nc    # coarse inverse + restriction
         + 8 * dp * n               # state vectors + temps
     )
+    # resident path keeps the coarse inverse + restriction in VMEM
+    shared = shared_base + dd * nc * nc + n * nc
     mw = dl * m + dp * c
     if 4 * (dp * n * mw + shared) <= VMEM_BUDGET_BYTES:
         return "resident"
@@ -1053,17 +1257,28 @@ def fused_mode(cfg, graph, axis_name) -> str | None:
         return None
     mwb = band.n_wide * dl + dp * c
     b_dl = band.chunk_b * dl
-    # every dot SITE against the [nc, Np] restriction operand reserves a
-    # ~operand-sized register-spill slot (2*dp sites per precond call;
-    # measured ~100 MB at nc=320/n=10240, vmem OOM) — the in-kernel
-    # coarse must be small; larger coarse groups fall back to XLA
-    coarse_spill = 6 * nc * n if nc else 0
+    fold = _fold_layout(n, dp, nc) if nc else None
+    if fold is not None:
+        # streamed fold coarse (FoldCoarse): only the double-buffered
+        # bf16 chunk windows + small selectors live in VMEM — no nc cap
+        coarse_words = (
+            fold.ncp * fold.cw * dp      # 2x bf16 buffers at 2B each
+            + n // 2 + dp * fold.ncp     # rcv (bf16) + zacc
+            + (dp + 2) * 128 * 32        # selector operands
+        )
+    else:
+        # resident rmat coarse: every dot SITE against the [nc, Np]
+        # restriction operand reserves a ~operand-sized register-spill
+        # slot (2*dp sites per precond call; measured ~100 MB at
+        # nc=320/n=10240, vmem OOM) — larger groups that don't admit a
+        # fold layout must keep the in-kernel coarse small
+        coarse_words = dd * nc * nc + n * nc + (6 * nc * n if nc else 0)
     band_vmem = 4 * (
         dp * n * mwb                                 # wide+closure columns
         + 2 * band.k_windows * dp * band.w_row * b_dl  # 2x chunk buffers
         + 2 * dp * (n + band.w_row)                  # xext + wacc scratch
-        + coarse_spill
-        + shared
+        + coarse_words
+        + shared_base
     )
     if band_vmem <= 2 * VMEM_BUDGET_BYTES:
         return "band"
