@@ -194,22 +194,27 @@ def _fold_c2t(cinv_b: jax.Array, fold: FoldCoarse, dp: int,
         c2t[a2, g2, t = 128c + 16a + j] = cinv[a2, a, g2, gamma*c + j]
 
     so the coarse matvec is a lane-contraction of the restricted residual
-    (slot layout above) against per-chunk [ncp, cw] tiles."""
+    (slot layout above) against per-chunk [ncp, cw] tiles.  Built as a
+    pure GATHER over the t axis (a scatter formulation measured 162 ms on
+    TPU at nc=320/n=10240; the gather is ~2 orders faster) — rebuilt only
+    at preconditioner refresh (cached on FusedPrecond.c2t)."""
     import numpy as np
 
     nc = cinv_b.shape[-1]
     gamma = 128 // fold.group
-    cg, ag, jg = np.meshgrid(
-        np.arange(fold.nr), np.arange(dp), np.arange(gamma),
-        indexing="ij",
-    )
-    t = (128 * cg + 16 * ag + jg).ravel()
-    gsrc = (gamma * cg + jg).ravel()
-    asrc = ag.ravel()
-    vals = cinv_b[:, asrc, :, gsrc]          # [T, dp(a2), nc(g2)]
-    vals = jnp.transpose(vals, (1, 2, 0))    # [dp, nc, T]
-    c2t = jnp.zeros((dp, fold.ncp, np_), jnp.bfloat16)
-    c2t = c2t.at[:, :nc, t].set(vals.astype(jnp.bfloat16))
+    u = np.arange(128)
+    asrc = np.minimum(u // 16, dp - 1)
+    jsrc = np.minimum(u % 16, gamma - 1)
+    valid = ((u // 16) < dp) & ((u % 16) < gamma)
+    c = np.arange(fold.nr)
+    gsrc = gamma * c[:, None] + jsrc[None, :]          # [nr, 128]
+    asrc2 = np.broadcast_to(asrc, (fold.nr, 128))
+    cb = cinv_b.astype(jnp.bfloat16)
+    vals = cb[:, asrc2, :, gsrc]             # [nr, 128, dp(a2), nc(g2)]
+    vals = vals * jnp.asarray(
+        valid, jnp.bfloat16)[None, :, None, None]
+    c2t = jnp.transpose(vals, (2, 3, 0, 1))  # [dp, nc, nr, 128]
+    c2t = jnp.pad(c2t, ((0, 0), (0, fold.ncp - nc), (0, 0), (0, 0)))
     return jnp.transpose(
         c2t.reshape(dp, fold.ncp, fold.n_cc, fold.cw), (2, 0, 1, 3)
     )
@@ -235,6 +240,9 @@ class FusedPrecond(NamedTuple):
     binv: jax.Array     # f32[dp, dp, Np]
     cinv: jax.Array | None   # f32[dp, dp, nc, nc] coarse inverse blocks
     rmat: jax.Array | None   # f32[Np, nc] 0/1 restriction matrix
+    # streamed fold-coarse stack bf16[n_cc, dp, ncp, cw] (_fold_c2t) —
+    # prebuilt at refresh so the frozen-precond solves skip the reorder
+    c2t: jax.Array | None = None
 
 
 def _planes(blocks: jax.Array) -> jax.Array:
@@ -890,7 +898,9 @@ def band_fused_pcg(
     if has_coarse and fold is not None:
         sseg, asel, bsel = _fold_selectors(fold, dp)
         extra = extra + (sseg, asel, bsel)
-        tail = tail + (_fold_c2t(pre.cinv, fold, dp, np_),)
+        c2t = pre.c2t if pre.c2t is not None else _fold_c2t(
+            pre.cinv, fold, dp, np_)
+        tail = tail + (c2t,)
     elif has_coarse:
         # rmat transposed for the band kernel (lane dim = Np, see kernel)
         extra = extra + (pre.cinv, pre.rmat.T)
@@ -1208,7 +1218,11 @@ def build_fused_precond(
             (jnp.arange(n) // coarse_group)[:, None]
             == jnp.arange(nc)[None, :]
         ).astype(_f32)
-        return FusedPrecond(alphas, gammas, binv, cinv_b, rmat)
+        fold = _fold_layout(n, dp, nc)
+        c2t = (
+            _fold_c2t(cinv_b, fold, dp, n) if fold is not None else None
+        )
+        return FusedPrecond(alphas, gammas, binv, cinv_b, rmat, c2t)
     return FusedPrecond(alphas, gammas, binv, None, None)
 
 
