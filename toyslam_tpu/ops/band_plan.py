@@ -55,6 +55,19 @@ class BandAux:
     win_off: jax.Array        # i32[n_chunks, K] window start pose
     wide_idx: jax.Array       # i32[E] wide-column slot of the edge's lm
     wide_mask: jax.Array      # f32[E] 1 = edge belongs to a wide landmark
+    # SORTED-UNIQUE scatter program for materializing the tile stack:
+    # gather the per-edge block components at ``scatter_src`` (flat index
+    # into blk[Eb, dp, dl]) and scatter-SET them at ``scatter_ids`` —
+    # strictly increasing, collision-free by construction, so XLA's
+    # sorted/unique scatter path applies (the generic scatter-add
+    # measured ~12.5 ms per linearization at 10k; see fused_pcg)
+    scatter_src: jax.Array    # i32[Eb * dp * dl]
+    scatter_ids: jax.Array    # i32[Eb * dp * dl]
+    # static list of the wide-landmark edges (padded with E -> masked):
+    # the wide-column build segments over just these few hundred edges
+    # instead of masking all E (a full-width segment_sum measured ~7 ms
+    # per linearization at 10k for ~dozens of live values)
+    wide_edges: jax.Array     # i32[Ew_pad]
     chunk_b: int = dataclasses.field(metadata=dict(static=True), default=64)
     k_windows: int = dataclasses.field(metadata=dict(static=True), default=2)
     w_row: int = dataclasses.field(metadata=dict(static=True), default=192)
@@ -229,12 +242,34 @@ def build_band_aux(
         )
         band_mask[e] = 1.0
 
+    # sorted-unique scatter program: flatten (band edge, a, b) -> (source
+    # position in blk, destination tile slot), sort by destination.  Tile
+    # slots are unique per (edge, a, b) — landmark slots are unique per
+    # chunk and (pose, lm) pairs are unique — so a scatter-SET with
+    # indices_are_sorted/unique_indices holds exactly the segment-sum.
+    eb = np.nonzero(band_mask > 0)[0]
+    stride_a = Wrow * b_dl
+    offs = np.asarray(
+        [a * stride_a + b for a in range(3) for b in range(2)], np.int64
+    )
+    ids6 = (scatter_base[eb][:, None] + offs[None, :]).reshape(-1)
+    src6 = (eb[:, None] * 6 + np.arange(6)[None, :]).reshape(-1)
+    order6 = np.argsort(ids6, kind="stable")
+
+    we = np.nonzero(wide_mask > 0)[0]
+    ew_pad = max(64, 1 << int(np.ceil(np.log2(max(len(we), 1)))))
+    wide_edges = np.full((ew_pad,), e_all, np.int64)
+    wide_edges[: len(we)] = we
+
     return BandAux(
         scatter_base=scatter_base.astype(np.int32),
         band_mask=band_mask,
         win_off=win_off.astype(np.int32),
         wide_idx=wide_idx.astype(np.int32),
         wide_mask=wide_mask,
+        scatter_src=src6[order6].astype(np.int32),
+        scatter_ids=ids6[order6].astype(np.int32),
+        wide_edges=wide_edges.astype(np.int32),
         chunk_b=B, k_windows=K, w_row=Wrow,
         n_chunks=n_chunks, n_wide=n_wide,
     )

@@ -1082,22 +1082,35 @@ def build_band_operator(
     el = jnp.swapaxes(_tri_inv_lower(lh), -1, -2)          # L^{-T}
     blk = bm.mm(d.hpl, el[graph.lm_edges.lm])              # [E, dp, dl]
 
+    # sorted-unique scatter-SET via the plan's precomputed program
+    # (band_plan.scatter_src/ids): the generic scatter-add measured
+    # ~12.5 ms per linearization at 10k (XLA serializes unordered
+    # updates); sorted unique indices take the fast lowering
     stride_a = w_row * b_dl
-    offs = jnp.asarray(
-        [a * stride_a + b for a in range(dp) for b in range(dl)], _i32
+    vals = blk.reshape(-1)[band.scatter_src]
+    flat = jnp.zeros((n_tiles * dp * stride_a,), _f32)
+    flat = flat.at[band.scatter_ids].set(
+        vals, indices_are_sorted=True, unique_indices=True
     )
-    ids = (band.scatter_base[:, None] + offs[None, :]).reshape(-1)
-    vals = (blk * band.band_mask[:, None, None]).reshape(-1)
-    flat = jax.ops.segment_sum(vals, ids, n_tiles * dp * stride_a)
     tiles = flat.reshape(
         band.n_chunks, band.k_windows, dp, w_row, b_dl
     )
 
     ucols = []
     if band.n_wide:
+        # segment over just the static wide-edge subset (band_plan):
+        # masking all E edges put a full-width segment_sum on the build
+        # path (~7 ms at 10k) for a few dozen live values
         nw = band.n_wide
-        wvals = blk * band.wide_mask[:, None, None]
-        wid = graph.lm_edges.pose * nw + band.wide_idx
+        we = band.wide_edges                                # [Ew_pad]
+        ew_ok = (we < blk.shape[0]).astype(_f32)
+        wej = jnp.minimum(we, blk.shape[0] - 1)
+        wvals = blk[wej] * ew_ok[:, None, None]
+        wid = jnp.where(
+            ew_ok > 0,
+            graph.lm_edges.pose[wej] * nw + band.wide_idx[wej],
+            n * nw,
+        )
         uw = jax.ops.segment_sum(wvals, wid, n * nw)       # [n*nw, dp, dl]
         ucols.append(
             uw.reshape(n, nw, dp, dl).transpose(2, 1, 3, 0).reshape(
