@@ -65,16 +65,26 @@ def main():
         solver="schur", pcg_backend="fused",
         pcg_fused_chunk=int(os.environ.get("BAND_CHUNK", "8")), **tuned,
     )
+    # band kernel fed straight from the grid assembly (grid_schur
+    # _band_mode): grid-layout blk, GridBandAux scatter, positional
+    # tupper — the BlockSystem-layer costs of the schur-path band gone
+    gband32 = OptimizerConfig(
+        solver="schur_grid", pcg_backend="fused",
+        pcg_fused_chunk=int(os.environ.get("BAND_CHUNK", "8")), **tuned,
+    )
     rows = [
         bench("grid-10k-tuned-cg32", graph, poses_gt, grid32, 10_000),
         bench("band-10k-fold-cg32", graph, poses_gt, band32, 10_000),
+        bench("gridband-10k-fold-cg32", graph, poses_gt, gband32, 10_000),
     ]
     print(json.dumps({
         "speedup_vs_tuned": round(
             rows[1]["iters_per_s"] / rows[0]["iters_per_s"], 2),
-        "chi2_rel_dev": abs(rows[1]["chi2_last"] - rows[0]["chi2_last"])
+        "gridband_speedup_vs_tuned": round(
+            rows[2]["iters_per_s"] / rows[0]["iters_per_s"], 2),
+        "chi2_rel_dev": abs(rows[2]["chi2_last"] - rows[0]["chi2_last"])
         / max(rows[0]["chi2_last"], 1.0),
-        "ate": [rows[0]["ate"], rows[1]["ate"]],
+        "ate": [r["ate"] for r in rows],
     }))
 
 

@@ -185,6 +185,46 @@ def test_band_solve_fold_coarse_matches_xla(fold_graph):
     assert int(stats.pcg_iters) > 0
 
 
+def test_grid_band_solve_matches_grid_xla(fold_graph):
+    """The band kernel driven FROM THE GRID ASSEMBLY (grid_schur
+    _band_mode: GridBandAux scatter, positional tupper, grid-layout blk)
+    vs the same grid solver's XLA PCG loop.  Identical assembly both
+    sides; the fold coarse rides bf16, so compare at convergence."""
+    import dataclasses as dc
+
+    from toyslam_tpu.ops import grid_schur
+
+    graph = dc.replace(fold_graph, plan=None)
+    gp = grid_schur.build_grid_plan(graph)
+    assert gp.band is not None
+    lam = jnp.asarray(1e-3, jnp.float32)
+
+    cfg_b = OptimizerConfig(
+        solver="schur_grid", pcg_backend="fused", pcg_tol=1e-8,
+        pcg_max_iters=400, pcg_precond="tridiag+coarse",
+        pcg_coarse_group=32, pcg_fused_chunk=8,
+    )
+    assert grid_schur._band_mode(cfg_b, gp, graph.num_poses)
+    dx_p_b, dx_l_b, _, stats, _ = grid_schur._solve_once(
+        cfg_b, graph, gp, lam
+    )
+
+    cfg_x = dc.replace(cfg_b, pcg_backend="xla")
+    assert not grid_schur._band_mode(cfg_x, gp, graph.num_poses)
+    dx_p_x, dx_l_x, _, _, _ = grid_schur._solve_once(
+        cfg_x, graph, gp, lam
+    )
+    ref = np.abs(np.asarray(dx_p_x)).max()
+    np.testing.assert_allclose(
+        np.asarray(dx_p_b), np.asarray(dx_p_x), atol=1e-3 * ref
+    )
+    np.testing.assert_allclose(
+        np.asarray(dx_l_b), np.asarray(dx_l_x),
+        atol=1e-3 * max(np.abs(np.asarray(dx_l_x)).max(), 1.0),
+    )
+    assert int(stats.pcg_iters) > 0
+
+
 def test_band_operator_matvec_oracle(big_graph):
     """The streamed operator's matvec (via one solve iteration structure)
     is exercised above; here check the TILE SCATTER itself reconstructs

@@ -80,6 +80,79 @@ class BandAux:
         return self.n_chunks * self.k_windows * 3 * self.w_row * b_dl * 4
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class GridBandAux:
+    """Band layout re-addressed for the pose-major GRID storage
+    (ops/grid_schur.py): scatter sources index the flattened
+    ``[N*Kp, dp, dl]`` per-slot block array instead of per-edge blocks,
+    so the streamed band operator builds directly from the grid
+    assembly — no BlockSystem, no per-edge gathers, no chain segment-sum
+    (the grid already holds ``tupper`` positionally)."""
+
+    scatter_src: jax.Array   # i32[Eb*dp*dl] into blk_P.reshape(-1)
+    scatter_ids: jax.Array   # i32[Eb*dp*dl] sorted-unique tile slots
+    wide_slots: jax.Array    # i32[Ew_pad] grid slot of each wide edge
+    wide_ids: jax.Array      # i32[Ew_pad] destination p*n_wide + widx
+    win_off: jax.Array       # i32[n_chunks, K]
+    chunk_b: int = dataclasses.field(metadata=dict(static=True), default=64)
+    k_windows: int = dataclasses.field(metadata=dict(static=True), default=2)
+    w_row: int = dataclasses.field(metadata=dict(static=True), default=192)
+    n_chunks: int = dataclasses.field(metadata=dict(static=True), default=0)
+    n_wide: int = dataclasses.field(metadata=dict(static=True), default=0)
+
+
+def build_grid_band(graph, p_pose, p_lm, p_mask, kp) -> GridBandAux | None:
+    """Host-side: run the band structure search and re-address its scatter
+    program to pose-major grid slots ((p, q) -> flat slot p*kp + q)."""
+    band = build_band_aux(graph)
+    if band is None:
+        return None
+    n = graph.num_poses
+    lp = np.asarray(graph.lm_edges.pose)
+    ll = np.asarray(graph.lm_edges.lm)
+    slot_of = {}
+    pm = np.asarray(p_mask) > 0
+    for s in np.nonzero(pm)[0]:
+        slot_of[(int(p_pose[s]), int(p_lm[s]))] = int(s)
+
+    band_mask = np.asarray(band.band_mask)
+    base = np.asarray(band.scatter_base, np.int64)
+    b_dl = band.chunk_b * 2
+    stride_a = band.w_row * b_dl
+    offs = np.asarray(
+        [a * stride_a + b for a in range(3) for b in range(2)], np.int64
+    )
+    eb = np.nonzero(band_mask > 0)[0]
+    gslot = np.asarray(
+        [slot_of[(int(lp[e]), int(ll[e]))] for e in eb], np.int64
+    )
+    ids6 = (base[eb][:, None] + offs[None, :]).reshape(-1)
+    src6 = (gslot[:, None] * 6 + np.arange(6)[None, :]).reshape(-1)
+    order6 = np.argsort(ids6, kind="stable")
+
+    wmask = np.asarray(band.wide_mask)
+    widx = np.asarray(band.wide_idx, np.int64)
+    we = np.nonzero(wmask > 0)[0]
+    ew_pad = max(64, 1 << int(np.ceil(np.log2(max(len(we), 1)))))
+    nw = max(band.n_wide, 1)
+    wide_slots = np.full((ew_pad,), n * kp, np.int64)
+    wide_ids = np.full((ew_pad,), n * nw, np.int64)
+    for i, e in enumerate(we):
+        wide_slots[i] = slot_of[(int(lp[e]), int(ll[e]))]
+        wide_ids[i] = int(lp[e]) * band.n_wide + int(widx[e])
+
+    return GridBandAux(
+        scatter_src=src6[order6].astype(np.int32),
+        scatter_ids=ids6[order6].astype(np.int32),
+        wide_slots=wide_slots.astype(np.int32),
+        wide_ids=wide_ids.astype(np.int32),
+        win_off=np.asarray(band.win_off, np.int32),
+        chunk_b=band.chunk_b, k_windows=band.k_windows,
+        w_row=band.w_row, n_chunks=band.n_chunks, n_wide=band.n_wide,
+    )
+
+
 def _runs(poses: np.ndarray, gap: int = 8):
     """Sorted observation poses -> list of [lo, hi] run intervals."""
     iv = []

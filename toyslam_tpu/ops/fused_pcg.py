@@ -1136,6 +1136,66 @@ def build_band_operator(
     )
 
 
+def build_band_operator_grid(
+    hll_d: jax.Array,        # f32[M, dl, dl] damped landmark blocks
+    hpl_p: jax.Array,        # f32[N, Kp, dp, dl] pose-major hpl grid
+    lm_p: jax.Array,         # i32[N, Kp] landmark of each grid slot
+    hpp_diag: jax.Array,     # f32[N, dp, dp] damped pose diagonal
+    tupper: jax.Array,       # f32[N, dp, dp] chain superdiagonal (masked)
+    gband, n: int,
+) -> BandOperator:
+    """Band operator straight from the GRID assembly (ops/grid_schur.py).
+
+    Identical math to :func:`build_band_operator`, minus the
+    BlockSystem-layer costs it existed to avoid: the low-rank blocks are
+    computed in the pose-major grid layout (no per-edge gathers), the
+    tile scatter sources grid slots (band_plan.GridBandAux), the chain
+    superdiagonal is read positionally (no chain_upper segment-sum), and
+    loop closures cannot occur (build_grid_plan rejects non-chain
+    odometry)."""
+    dp, dl = hpl_p.shape[-2], hpl_p.shape[-1]
+    w_row, b_dl = gband.w_row, gband.chunk_b * dl
+    n_tiles = gband.n_chunks * gband.k_windows
+    stride_a = w_row * b_dl
+
+    lh = _chol_spd(hll_d)
+    el = jnp.swapaxes(_tri_inv_lower(lh), -1, -2)           # L^{-T}
+    blk = bm.mm(hpl_p, el[lm_p])                            # [N, Kp, dp, dl]
+
+    vals = blk.reshape(-1)[gband.scatter_src]
+    flat = jnp.zeros((n_tiles * dp * stride_a,), _f32)
+    flat = flat.at[gband.scatter_ids].set(
+        vals, indices_are_sorted=True, unique_indices=True
+    )
+    tiles = flat.reshape(
+        gband.n_chunks, gband.k_windows, dp, w_row, b_dl
+    )
+
+    u = None
+    if gband.n_wide:
+        nw = gband.n_wide
+        blk_flat = blk.reshape(-1, dp, dl)
+        ws = gband.wide_slots
+        ok = (ws < blk_flat.shape[0]).astype(_f32)
+        wvals = blk_flat[jnp.minimum(ws, blk_flat.shape[0] - 1)]
+        uw = jax.ops.segment_sum(
+            wvals * ok[:, None, None], gband.wide_ids, n * nw
+        )
+        u = uw.reshape(n, nw, dp, dl).transpose(2, 1, 3, 0).reshape(
+            dp, nw * dl, n
+        )
+
+    lower = jnp.swapaxes(schur._shift_down(tupper, 1), -1, -2)
+    return BandOperator(
+        tiles=tiles,
+        win_off=gband.win_off,
+        u=u,
+        tdiag=_planes(hpp_diag),
+        tupper=_planes(tupper),
+        tlower=_planes(lower),
+    )
+
+
 def build_fused_operator(
     d: schur.BlockSystem, hll_inv: jax.Array, graph
 ) -> FusedOperator:
@@ -1237,6 +1297,37 @@ def build_fused_precond(
         )
         return FusedPrecond(alphas, gammas, binv, cinv_b, rmat, c2t)
     return FusedPrecond(alphas, gammas, binv, None, None)
+
+
+def fused_precond_from_parts(
+    local_kind: str,
+    local,                     # schur PCR pytree (tridiag) or inv blocks
+    coarse_inv: jax.Array | None,   # [nc*dp, nc*dp] comp-major, or None
+    n: int,
+    dp: int,
+) -> FusedPrecond:
+    """Re-lay an XLA-path preconditioner (e.g. the grid solver's
+    ``(local, coarse)``) into the kernel plane layout.  The coarse level,
+    when present, must admit the streamed fold layout (callers gate on
+    :func:`_fold_layout`) — no resident restriction matrix is built."""
+    if local_kind == "tridiag":
+        alphas = jnp.transpose(local.alphas, (0, 2, 3, 1))
+        gammas = jnp.transpose(local.gammas, (0, 2, 3, 1))
+        binv = _planes(local.binv)
+    else:
+        alphas = jnp.zeros((0, dp, dp, n), _f32)
+        gammas = alphas
+        binv = _planes(local)
+    if coarse_inv is None:
+        return FusedPrecond(alphas, gammas, binv, None, None)
+    dim = coarse_inv.shape[0]
+    nc = dim // dp
+    cinv_b = jnp.transpose(
+        coarse_inv.reshape(dp, nc, dp, nc), (0, 2, 1, 3)
+    )
+    fold = _fold_layout(n, dp, nc)
+    c2t = _fold_c2t(cinv_b, fold, dp, n) if fold is not None else None
+    return FusedPrecond(alphas, gammas, binv, cinv_b, None, c2t)
 
 
 def fused_mode(cfg, graph, axis_name) -> str | None:

@@ -46,8 +46,10 @@ import numpy as np
 
 from toyslam_tpu.config import OptimizerConfig
 from toyslam_tpu.models.graph import FactorGraph2D
+from toyslam_tpu.ops import band_plan
 from toyslam_tpu.ops import blockmath as bm
 from toyslam_tpu.ops import edge_blocks
+from toyslam_tpu.ops import fused_pcg
 from toyslam_tpu.ops import residuals as res_ops
 from toyslam_tpu.ops import schur
 
@@ -81,6 +83,10 @@ class GridPlan:
     C_meas: jax.Array   # f32[N, 3]
     C_info: jax.Array   # f32[N, 3, 3]
     C_mask: jax.Array   # f32[N]
+    # streamed-band layout re-addressed to the pose-major grid
+    # (band_plan.GridBandAux) — present on large graphs whose observation
+    # structure admits the banded layout; gates the fused band PCG
+    band: object = None
 
 
 def build_grid_plan(graph: FactorGraph2D) -> GridPlan:
@@ -139,12 +145,17 @@ def build_grid_plan(graph: FactorGraph2D) -> GridPlan:
     C_meas[rows] = np.asarray(graph.odom.meas)[oreal]
     C_info[rows] = np.asarray(graph.odom.info)[oreal]
     C_mask[rows] = 1.0
+    band = None
+    if n >= 2048:        # same scale threshold as the gather-plan band
+        kp = P_pose.shape[0] // n
+        band = band_plan.build_grid_band(graph, P_pose, P_lm, P_mask, kp)
     return GridPlan(
         L_pose=L_pose, L_lm=L_lm, L_meas=L_meas, L_info=L_info,
         L_mask=L_mask,
         P_pose=P_pose, P_lm=P_lm, P_meas=P_meas, P_info=P_info,
         P_mask=P_mask,
         C_meas=C_meas, C_info=C_info, C_mask=C_mask,
+        band=band,
     )
 
 
@@ -320,14 +331,42 @@ def _matvec_factory(d: _GridSystem, hll_inv, gp: GridPlan, n, m):
     return matvec, s_diag
 
 
+def _band_mode(cfg, gp, n) -> bool:
+    """Static gate for the fused band PCG inside the grid solver: the
+    grid plan found a banded layout, the caller opted into the fused
+    backend, and the preconditioner maps into the kernel (tridiag/jacobi
+    local; a coarse level must admit the streamed fold layout —
+    fused_pcg.FoldCoarse — since the grid-band path carries no resident
+    restriction matrix)."""
+    if getattr(gp, "band", None) is None:
+        return False
+    if getattr(cfg, "pcg_backend", "auto") != "fused":
+        return False
+    if getattr(cfg, "pcg_unroll", False):
+        return False
+    local_kind, _, coarse_kind = cfg.pcg_precond.partition("+")
+    if local_kind not in ("jacobi", "tridiag"):
+        return False
+    if coarse_kind == "coarse":
+        nc = -(-n // cfg.pcg_coarse_group)
+        if fused_pcg._fold_layout(n, 3, nc) is None:
+            return False
+    elif coarse_kind:
+        return False
+    return True
+
+
 def _build_precond(cfg, d, hll_inv, s_diag, graph, gp):
-    """Returns a PYTREE ``(local, coarse)`` — it rides the GaussNewton
-    while_loop carry on the refresh path, so no static fields; the kinds
-    are re-read from cfg (static) at apply time.  ``coarse`` is the
-    explicit Jacobi-equilibrated Newton-Schulz inverse of the Galerkin
-    coarse operator (schur.spd_inverse): the APPLY is one [dim, dim]
-    matvec per PCG iteration instead of two TPU triangular solves (same
-    trade as ops/fused_pcg.py)."""
+    """Returns a PYTREE — it rides the GaussNewton while_loop carry on
+    the refresh path, so no static fields; the kinds are re-read from cfg
+    (static) at apply time.  ``coarse`` is the explicit
+    Jacobi-equilibrated Newton-Schulz inverse of the Galerkin coarse
+    operator (schur.spd_inverse): the APPLY is one [dim, dim] matvec per
+    PCG iteration instead of two TPU triangular solves (same trade as
+    ops/fused_pcg.py).  Shape: ``(local, coarse)`` for the XLA loop, or a
+    fused_pcg.FusedPrecond (kernel plane layout + streamed fold-coarse
+    stack) when ``_band_mode`` holds — the branch is static in cfg, so
+    the carry structure is consistent across iterations."""
     local_kind, _, coarse_kind = cfg.pcg_precond.partition("+")
     upper = d.tupper * gp.C_mask[:, None, None]
     if local_kind == "tridiag":
@@ -341,6 +380,11 @@ def _build_precond(cfg, d, hll_inv, s_diag, graph, gp):
         coarse = schur.build_coarse_precond(
             _flat_system(d, graph, gp), hll_inv,
             _FlatGraphView(graph, gp), cfg.pcg_coarse_group,
+        )
+    if _band_mode(cfg, gp, graph.num_poses):
+        return fused_pcg.fused_precond_from_parts(
+            local_kind, local, coarse if coarse_kind == "coarse" else None,
+            graph.num_poses, 3,
         )
     return (local, coarse)
 
@@ -388,16 +432,27 @@ def _solve_once(cfg, graph, gp, lam, pre=None):
 
     if pre is None:
         pre = _build_precond(cfg, d, hll_inv, s_diag_fn(), graph, gp)
-    res = schur.pcg(
-        matvec=matvec,
-        precond_apply=_precond_apply(cfg, pre, n),
-        rhs=rhs,
-        tol=cfg.pcg_tol,
-        max_iters=cfg.pcg_max_iters,
-        restart_every=cfg.pcg_restart_every,
-        unroll=cfg.pcg_unroll,
-    )
-    dx_p = res.x
+    if _band_mode(cfg, gp, n):
+        upper = d.tupper * gp.C_mask[:, None, None]
+        bop = fused_pcg.build_band_operator_grid(
+            d.hll, d.hpl_P, lm_P, d.hpp_diag, upper, gp.band, n,
+        )
+        res = fused_pcg.band_fused_pcg(
+            bop, pre, rhs.T, cfg.pcg_tol, cfg.pcg_max_iters,
+            cfg.pcg_fused_chunk, cfg.pcg_restart_every,
+        )
+        dx_p = res.x.T
+    else:
+        res = schur.pcg(
+            matvec=matvec,
+            precond_apply=_precond_apply(cfg, pre, n),
+            rhs=rhs,
+            tol=cfg.pcg_tol,
+            max_iters=cfg.pcg_max_iters,
+            restart_every=cfg.pcg_restart_every,
+            unroll=cfg.pcg_unroll,
+        )
+        dx_p = res.x
     u = jnp.sum(bm.mtv(d.hpl_L, dx_p[pose_L]), axis=1)
     dx_l = bm.mv(hll_inv, -d.bl - u)
     stats = schur.SolveStats(pcg_iters=res.iterations,
