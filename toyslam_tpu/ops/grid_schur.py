@@ -347,13 +347,30 @@ def _band_mode(cfg, gp, n) -> bool:
     local_kind, _, coarse_kind = cfg.pcg_precond.partition("+")
     if local_kind not in ("jacobi", "tridiag"):
         return False
+    fold = None
     if coarse_kind == "coarse":
         nc = -(-n // cfg.pcg_coarse_group)
-        if fused_pcg._fold_layout(n, 3, nc) is None:
+        fold = fused_pcg._fold_layout(n, 3, nc)
+        if fold is None:
             return False
     elif coarse_kind:
         return False
-    return True
+    # VMEM accounting (f32 words, mirrors fused_pcg.fused_mode's band
+    # branch): PCR planes ride bf16 in the band kernel (half weight);
+    # wide columns are VMEM-resident U slabs; the fold coarse adds only
+    # its double-buffered chunk windows
+    band = gp.band
+    nlevels = max(1, (n - 1).bit_length()) if local_kind == "tridiag" else 0
+    b_dl = band.chunk_b * 2
+    words = (
+        4 * 9 * n                  # T planes + binv (f32)
+        + nlevels * 9 * n          # PCR coefficient planes (bf16)
+        + 8 * 3 * n                # state vectors + temps
+        + 3 * n * band.n_wide * 2  # resident wide-column slabs
+        + 2 * band.k_windows * 3 * band.w_row * b_dl   # tile buffers
+        + (fold.ncp * fold.cw * 3 if fold is not None else 0)
+    )
+    return 4 * words <= 2 * fused_pcg.VMEM_BUDGET_BYTES
 
 
 def _build_precond(cfg, d, hll_inv, s_diag, graph, gp):
