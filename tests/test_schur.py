@@ -388,3 +388,61 @@ def test_chunk_coarse_pcg_converges_like_tridiag_coarse():
 
     chi_t, chi_c = run("tridiag+coarse"), run("chunk+coarse")
     assert abs(chi_t - chi_c) <= 0.02 * max(chi_t, 1.0), (chi_t, chi_c)
+
+
+def _spd_inverse_residual(a32, x):
+    """Equilibrated residual ||I - A X||_max against the f32-rounded
+    input (the f32 cast alone perturbs the true inverse by ~cond*eps, so
+    measuring against a f64 original would conflate input rounding with
+    solver convergence)."""
+    s = 1.0 / np.sqrt(np.diag(a32).astype(np.float64))
+    ae = a32.astype(np.float64) * s[:, None] * s[None, :]
+    xe = x.astype(np.float64) / (s[:, None] * s[None, :])
+    return np.abs(ae @ xe - np.eye(a32.shape[0])).max()
+
+
+def test_spd_inverse_converges_within_cond_bound():
+    """spd_inverse derives its iteration count from the caller's
+    condition bound (ADVICE r4: a fixed 24 silently under-converged at
+    high cond).  In the operating envelope — call sites boost the
+    diagonal 1e-4 so equilibrated cond is ~1e4 — the derived count must
+    reach the f32 floor, an under-budgeted count must not (documents
+    that the count matters), and scaling cond_bound up must extend the
+    budget accordingly."""
+    rng = np.random.default_rng(3)
+    q, _ = np.linalg.qr(rng.standard_normal((96, 96)))
+    a32 = ((q * np.geomspace(1.0, 1e4, 96)) @ q.T).astype(np.float32)
+    x = np.asarray(schur.spd_inverse(jnp.asarray(a32)))
+    assert _spd_inverse_residual(a32, x) < 5e-2
+    np.testing.assert_allclose(x, x.T, rtol=0, atol=0)
+    # under-budgeted: the slow phase alone needs ~log2(cond) steps —
+    # the derived count is load-bearing, not decorative
+    x8 = np.asarray(schur.spd_inverse(jnp.asarray(a32), ns_iters=8))
+    assert _spd_inverse_residual(a32, x8) > 0.1
+
+
+def test_chol_small_clamped_pivot_stays_bounded():
+    """A block whose early pivot rounds to ~0 must yield a FINITE bounded
+    factor: the old absolute 1e-30 clamp produced l=1e-15 pivots whose
+    divided columns blew up to ~1e30/inf (ADVICE r4)."""
+    # a00 ~ 0 with O(1) off-diagonals: the first pivot clamps
+    a3 = np.array([
+        [[0.0, 0.7, 0.3],
+         [0.7, 2.0, 0.1],
+         [0.3, 0.1, 1.5]],
+        # and a healthy SPD block must factor exactly
+        [[4.0, 1.0, 0.5],
+         [1.0, 3.0, 0.2],
+         [0.5, 0.2, 2.0]],
+    ], np.float32)
+    l = np.asarray(schur._chol_small(jnp.asarray(a3)))
+    assert np.isfinite(l).all()
+    scale = np.abs(a3).max()
+    assert np.abs(l).max() < 10 * np.sqrt(scale), np.abs(l).max()
+    np.testing.assert_allclose(
+        l[1] @ l[1].T, a3[1], rtol=1e-5, atol=1e-5
+    )
+    # 2x2 variant: same hazard through _chol2x2
+    a2 = np.array([[[0.0, 0.9], [0.9, 1.0]]], np.float32)
+    l2 = np.asarray(schur._chol_small(jnp.asarray(a2)))
+    assert np.isfinite(l2).all() and np.abs(l2).max() < 10.0

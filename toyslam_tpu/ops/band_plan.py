@@ -247,6 +247,16 @@ def build_band_aux(
     if not msk.any():
         return None
     real = np.nonzero(msk)[0]
+    # Duplicate (pose, lm) observations are legal graph input (the XLA and
+    # segment-sum paths SUM them), but the band layout gives both copies
+    # the same tile slot: the sorted-unique scatter-SET in
+    # build_band_operator would silently drop one block, and
+    # build_grid_band's slot map would collapse their grid slots.  Fall
+    # back to the XLA path rather than diverge (mirrors the grid
+    # duplicate-odometry check, ADVICE r4).
+    pair_key = lp[real].astype(np.int64) * np.int64(ll.max() + 1) + ll[real]
+    if np.unique(pair_key).shape[0] != real.shape[0]:
+        return None
     order_e = real[np.lexsort((lp[real], ll[real]))]
     lms, starts = np.unique(ll[order_e], return_index=True)
     obs_by_lm = {}

@@ -99,8 +99,16 @@ def _build_table(
     return VertexTable(idx=tbl, mask=msk)
 
 
-def build_gather_plan(graph: FactorGraph2D) -> GatherPlan:
-    """Host-side construction from the graph's (host-resident) index arrays."""
+def build_gather_plan(
+    graph: FactorGraph2D, want_band: bool | None = None
+) -> GatherPlan:
+    """Host-side construction from the graph's (host-resident) index arrays.
+
+    ``want_band`` gates the banded-layout structure search (an O(E)
+    host-side pass plus a ~20-candidate layout search — seconds at 100k):
+    callers that can never select the fused band path (``pcg_backend ==
+    'xla'``) pass False; None keeps the scale heuristic (ADVICE r4).
+    """
     n, m = graph.num_poses, graph.num_landmarks
     lm_pose = np.asarray(graph.lm_edges.pose)
     lm_lm = np.asarray(graph.lm_edges.lm)
@@ -110,7 +118,7 @@ def build_gather_plan(graph: FactorGraph2D) -> GatherPlan:
     od_mask = np.asarray(graph.odom.mask)
     closure = np.nonzero((od_mask > 0) & (od_j != od_i + 1))[0].astype(np.int32)
     band = None
-    if n >= 2048:
+    if n >= 2048 and want_band is not False:
         # the VMEM-resident fused operator covers small graphs; the banded
         # search only pays off (and only runs, ~0.5 s host) at scale
         from toyslam_tpu.ops.band_plan import build_band_aux
@@ -130,9 +138,13 @@ def build_gather_plan(graph: FactorGraph2D) -> GatherPlan:
     )
 
 
-def attach_plan(graph: FactorGraph2D) -> FactorGraph2D:
+def attach_plan(
+    graph: FactorGraph2D, want_band: bool | None = None
+) -> FactorGraph2D:
     """Graph with gather tables attached (host-side, once per structure)."""
-    return dataclasses.replace(graph, plan=build_gather_plan(graph))
+    return dataclasses.replace(
+        graph, plan=build_gather_plan(graph, want_band=want_band)
+    )
 
 
 def _build_sharded_table(

@@ -89,9 +89,13 @@ class GridPlan:
     band: object = None
 
 
-def build_grid_plan(graph: FactorGraph2D) -> GridPlan:
+def build_grid_plan(
+    graph: FactorGraph2D, want_band: bool | None = None
+) -> GridPlan:
     """Host-side dual-order construction.  Raises if any real odometry
-    edge is non-chain (the caller gates on this)."""
+    edge is non-chain (the caller gates on this).  ``want_band=False``
+    skips the banded-layout structure search (O(E) host pass) for configs
+    that pin the XLA loop (ADVICE r4)."""
     n, m = graph.num_poses, graph.num_landmarks
     lp = np.asarray(graph.lm_edges.pose)
     ll = np.asarray(graph.lm_edges.lm)
@@ -146,7 +150,8 @@ def build_grid_plan(graph: FactorGraph2D) -> GridPlan:
     C_info[rows] = np.asarray(graph.odom.info)[oreal]
     C_mask[rows] = 1.0
     band = None
-    if n >= 2048:        # same scale threshold as the gather-plan band
+    if n >= 2048 and want_band is not False:
+        # same scale threshold as the gather-plan band
         kp = P_pose.shape[0] // n
         band = band_plan.build_grid_band(graph, P_pose, P_lm, P_mask, kp)
     return GridPlan(
@@ -491,7 +496,10 @@ def grid_linearize_solve(cfg: OptimizerConfig):
     def _prepare(graph: FactorGraph2D) -> FactorGraph2D:
         if isinstance(graph.plan, GridPlan):
             return graph
-        return dataclasses.replace(graph, plan=build_grid_plan(graph))
+        return dataclasses.replace(
+            graph,
+            plan=build_grid_plan(graph, want_band=cfg.pcg_backend != "xla"),
+        )
 
     if refresh == 1:
 

@@ -25,6 +25,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from toyslam_tpu.config import OptimizerConfig
 from toyslam_tpu.models.graph import FactorGraph2D
@@ -722,12 +723,31 @@ def chunk_apply(inv: jax.Array, r: jax.Array) -> jax.Array:
     return zb.reshape(nb * chunk, dp)[:n]
 
 
+def _block_pivot_floor(a: jax.Array) -> jax.Array:
+    """Per-block pivot floor RELATIVE to the block's diagonal scale.
+
+    An absolute 1e-30 floor let a clamped pivot produce ``l = 1e-15``
+    whose divided column entries blew up to ~1e30/inf and propagated
+    non-finite values into the fill terms — the failure mode the clamp
+    was meant to fix, returning as inf (ADVICE r4).  ``eps * max(diag)``
+    keeps clamped pivots on the block's own scale; combined with zeroing
+    the sub-diagonal of a clamped column the factor stays bounded (it is
+    the exact factor of a nearby SPD matrix, which is all the
+    preconditioner fill terms need)."""
+    scale = jnp.max(
+        jnp.abs(jnp.diagonal(a, axis1=-2, axis2=-1)), axis=-1
+    )
+    return jnp.maximum(1.2e-7 * scale, 1e-30)
+
+
 def _chol2x2(a: jax.Array) -> jax.Array:
-    """Closed-form Cholesky of batched SPD 2x2 blocks."""
-    a00 = jnp.maximum(a[..., 0, 0], 1e-30)
-    s = jnp.sqrt(a00)
-    l10 = a[..., 1, 0] / s
-    l11 = jnp.sqrt(jnp.maximum(a[..., 1, 1] - l10 * l10, 0.0))
+    """Closed-form Cholesky of batched SPD 2x2 blocks (clamped pivots,
+    see :func:`_block_pivot_floor`)."""
+    tiny = _block_pivot_floor(a)
+    d0 = a[..., 0, 0]
+    s = jnp.sqrt(jnp.maximum(d0, tiny))
+    l10 = jnp.where(d0 > tiny, a[..., 1, 0] / s, 0.0)
+    l11 = jnp.sqrt(jnp.maximum(a[..., 1, 1] - l10 * l10, tiny))
     z = jnp.zeros_like(s)
     return jnp.stack(
         [jnp.stack([s, z], axis=-1), jnp.stack([l10, l11], axis=-1)],
@@ -739,19 +759,24 @@ def _chol_small(a: jax.Array) -> jax.Array:
     """Batched Cholesky of tiny SPD blocks with clamped pivots — closed
     forms for 2x2/3x3.  ``jnp.linalg.cholesky`` NaNs on a pivot f32
     rounding pushes negative (observed on ill-conditioned BA landmark
-    blocks: it made the partitioned SE(3) coarse build NaN); clamping
-    yields the factor of a nearby SPD matrix, which is all the
-    preconditioner fill terms need."""
+    blocks: it made the partitioned SE(3) coarse build NaN); pivots are
+    clamped relative to the block scale and the sub-diagonal of a clamped
+    column is zeroed, so the result is the bounded, exact factor of a
+    nearby SPD matrix."""
     k = a.shape[-1]
-    tiny = 1e-30
     if k == 2:
         return _chol2x2(a)
     if k == 3:
-        l00 = jnp.sqrt(jnp.maximum(a[..., 0, 0], tiny))
-        l10 = a[..., 1, 0] / l00
-        l20 = a[..., 2, 0] / l00
-        l11 = jnp.sqrt(jnp.maximum(a[..., 1, 1] - l10 * l10, tiny))
-        l21 = (a[..., 2, 1] - l20 * l10) / l11
+        tiny = _block_pivot_floor(a)
+        d0 = a[..., 0, 0]
+        ok0 = d0 > tiny
+        l00 = jnp.sqrt(jnp.maximum(d0, tiny))
+        l10 = jnp.where(ok0, a[..., 1, 0] / l00, 0.0)
+        l20 = jnp.where(ok0, a[..., 2, 0] / l00, 0.0)
+        d1 = a[..., 1, 1] - l10 * l10
+        ok1 = d1 > tiny
+        l11 = jnp.sqrt(jnp.maximum(d1, tiny))
+        l21 = jnp.where(ok1, (a[..., 2, 1] - l20 * l10) / l11, 0.0)
         l22 = jnp.sqrt(
             jnp.maximum(a[..., 2, 2] - l20 * l20 - l21 * l21, tiny)
         )
@@ -764,7 +789,9 @@ def _chol_small(a: jax.Array) -> jax.Array:
     return jnp.linalg.cholesky(a)
 
 
-def spd_inverse(sc: jax.Array, ns_iters: int = 24) -> jax.Array:
+def spd_inverse(
+    sc: jax.Array, ns_iters: int | None = None, cond_bound: float = 2e4,
+) -> jax.Array:
     """Explicit inverse of a dense SPD matrix by Jacobi equilibration +
     Newton-Schulz iteration — MXU-parallel where TPU Cholesky is not.
 
@@ -777,13 +804,31 @@ def spd_inverse(sc: jax.Array, ns_iters: int = 24) -> jax.Array:
     is 2 dense matmuls per step, all MXU.  Every iterate is a polynomial
     in A, hence symmetric with eigenvalues in (0, 2/lambda) — the result
     is SPD at any iteration count, which is all a PCG preconditioner
-    needs; ``ns_iters ~ log2(cond) + 5`` reaches the f32 floor.  Jacobi
-    equilibration first (D^-1/2 A D^-1/2 has unit diagonal) both bounds
-    cond away from the 1e6 gauge prior's 3e-7 spread and makes
-    ||.||_inf a tight lambda_max bound.  HIGHEST matmul precision: the
-    smallest eigenvalues of the equilibrated operator still sit ~1e-4
-    below the largest, under bf16's ~3 digits.
+    needs.  Jacobi equilibration first (D^-1/2 A D^-1/2 has unit
+    diagonal) both bounds cond away from the 1e6 gauge prior's 3e-7
+    spread and makes ||.||_inf a tight lambda_max bound.  HIGHEST matmul
+    precision: the smallest eigenvalues of the equilibrated operator
+    still sit ~1e-4 below the largest, under bf16's ~3 digits.
+
+    The iteration count is DERIVED from the caller's condition bound
+    (ADVICE r4: a fixed 24 silently under-converged past cond ~5e5):
+    the slow phase contracts the extreme error mode ~2x per step, so
+    ``ceil(log2(cond_bound)) + 10`` covers the slow phase plus the
+    quadratic tail with margin.  Call sites boost the diagonal by 1e-4
+    relative exactly so cond of the equilibrated system is ≤ ~1e4;
+    ``cond_bound`` defaults to 2e4 for 2x margin.  An explicit
+    ``ns_iters`` overrides.
+
+    f32 envelope (measured, tests/test_schur.py): at equilibrated cond
+    ~1e4 the converged residual ||I - A X||_max is ~8e-3; by cond ~3e6
+    the f32 ROUNDING OF THE INPUT is itself an indefinite matrix, the
+    one-sided NS drifts asymmetric (AX ~ I but XA far from I), and the
+    final symmetrization degrades the residual by orders of magnitude —
+    callers MUST bound cond via the diagonal boost, which every in-repo
+    call site does.
     """
+    if ns_iters is None:
+        ns_iters = int(np.ceil(np.log2(cond_bound))) + 10
     s = jax.lax.rsqrt(jnp.maximum(
         jnp.diagonal(sc), 1e-30
     )).astype(sc.dtype)
@@ -798,8 +843,11 @@ def spd_inverse(sc: jax.Array, ns_iters: int = 24) -> jax.Array:
                        precision=hi)
 
     x = jax.lax.fori_loop(0, ns_iters, body, x)
-    x = 0.5 * (x + x.T)  # exact symmetry against matmul rounding
-    return x * s[:, None] * s[None, :]
+    # rescale FIRST, symmetrize LAST: the final add makes the result
+    # exactly symmetric; rescaling after it would let XLA fuse the two
+    # multiplies in a per-side order that breaks bitwise symmetry
+    x = x * (s[:, None] * s[None, :])
+    return 0.5 * (x + x.T)
 
 
 def build_coarse_precond(

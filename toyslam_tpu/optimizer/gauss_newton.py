@@ -188,7 +188,12 @@ class GaussNewton:
         ):
             from toyslam_tpu.ops.gather_plan import attach_plan
 
-            graph = attach_plan(graph)
+            # the banded-layout search only matters if the fused band
+            # path can be selected; skip its host-side O(E) pass when the
+            # config pins the XLA loop (ADVICE r4)
+            graph = attach_plan(
+                graph, want_band=self.config.pcg_backend != "xla"
+            )
         return graph
 
     def optimize(self, graph: FactorGraph2D) -> OptimizeResult:

@@ -130,6 +130,21 @@ class PartitionMeta(NamedTuple):
         return out
 
 
+def _idx(*parts):
+    """dynamic_slice/update index tuple with literals cast to the traced
+    entries' dtype: under x64 Python-int literals weak-promote to int64
+    and mismatch the i32 axis indices (dynamic_slice requires one index
+    dtype)."""
+    dt = None
+    for p in parts:
+        if hasattr(p, "dtype"):
+            dt = p.dtype
+            break
+    if dt is None:
+        return parts
+    return tuple(jnp.asarray(p, dt) for p in parts)
+
+
 def _round_up(n: int, k: int) -> int:
     return -(-n // k) * k
 
@@ -707,7 +722,7 @@ def _coarse_build_partitioned(
     ])                                                    # [dp*dl, ncb, Bl]
     bnd_embed = jnp.zeros((dp * dl, nc, pl.n_bl), bnd_local.dtype)
     bnd_embed = jax.lax.dynamic_update_slice(
-        bnd_embed, bnd_local + own_cols, (0, row0, 0)
+        bnd_embed, bnd_local + own_cols, _idx(0, row0, 0)
     )
     cross_grid, bnd_planes = jax.lax.psum((cross_grid, bnd_embed), axis)
 
@@ -740,7 +755,7 @@ def _coarse_build_partitioned(
         for a in range(dp)
     ], axis=0)                                    # [dp*nc, dl*Bl]
     vf_bnd_mine = jax.lax.dynamic_slice(
-        vf_bnd_all.reshape(dp, nc, -1), (0, row0, 0),
+        vf_bnd_all.reshape(dp, nc, -1), _idx(0, row0, 0),
         (dp, ncb, vf_bnd_all.shape[-1]),
     ).reshape(dp * ncb, -1)
     fill_bnd = jnp.dot(vf_bnd_mine, vf_bnd_all.T,
@@ -749,7 +764,7 @@ def _coarse_build_partitioned(
     # --- assemble the comp-major row block [dp, ncb, dp, nc] -----------
     rows4 = rows.reshape(ncb, nc, dp, dp).transpose(2, 0, 3, 1)
     cross_mine = jax.lax.dynamic_slice(
-        cross_grid.reshape(nc, nc, dp, dp), (row0, 0, 0, 0),
+        cross_grid.reshape(nc, nc, dp, dp), _idx(row0, 0, 0, 0),
         (ncb, nc, dp, dp),
     ).transpose(2, 0, 3, 1)
     rows4 = rows4 + cross_mine
@@ -757,13 +772,13 @@ def _coarse_build_partitioned(
     fill_int_embed = jnp.zeros_like(rows4)
     fill_int_embed = jax.lax.dynamic_update_slice(
         fill_int_embed, fill_int.reshape(dp, ncb, dp, ncb),
-        (0, 0, 0, row0),
+        _idx(0, 0, 0, row0),
     )
     rows4 = rows4 - fill_int_embed
 
     # --- level 2: super-group diagonal blocks, batched inverse ----------
     diag4 = jax.lax.dynamic_slice(
-        rows4, (0, 0, 0, row0), (dp, ncb, dp, ncb)
+        rows4, _idx(0, 0, 0, row0), (dp, ncb, dp, ncb)
     )
     d6 = diag4.reshape(dp, nc2b, g2, dp, nc2b, g2)
     blocks = jnp.diagonal(d6, axis1=1, axis2=4)   # [dp, g2, dp, g2, nc2b]
@@ -780,7 +795,7 @@ def _coarse_build_partitioned(
     r3 = rows4.reshape(dp, nc2b, g2, dp, nc).sum(axis=2)
     r3 = r3.reshape(dp, nc2b, dp, nc2, g2).sum(axis=4)    # [dp,nc2b,dp,nc2]
     c3 = jnp.zeros((dp, nc2, dp, nc2), r3.dtype)
-    c3 = jax.lax.dynamic_update_slice(c3, r3, (0, d * nc2b, 0, 0))
+    c3 = jax.lax.dynamic_update_slice(c3, r3, _idx(0, d * nc2b, 0, 0))
     c3 = jax.lax.psum(c3, axis)
     c3 = c3.reshape(dp * nc2, dp * nc2)
     didx = jnp.arange(dp * nc2)
@@ -813,11 +828,11 @@ def _coarse_apply_partitioned(pre, group, group2, r, nb, n_dev, axis):
     # level 3
     rc3_local = rc.reshape(nc2b, g2, dp).sum(axis=1)      # [nc2b, dp]
     rc3 = jnp.zeros((nc2, dp), r.dtype)
-    rc3 = jax.lax.dynamic_update_slice(rc3, rc3_local, (d * nc2b, 0))
+    rc3 = jax.lax.dynamic_update_slice(rc3, rc3_local, _idx(d * nc2b, 0))
     rc3 = jax.lax.psum(rc3, axis)
     zc3 = c3inv @ rc3.T.reshape(-1)
     z3 = zc3.reshape(dp, nc2).T                           # [nc2, dp]
-    z3_local = jax.lax.dynamic_slice(z3, (d * nc2b, 0), (nc2b, dp))
+    z3_local = jax.lax.dynamic_slice(z3, _idx(d * nc2b, 0), (nc2b, dp))
     z3_fine = jnp.broadcast_to(
         z3_local.reshape(nc2b, 1, dp), (nc2b, g2, dp)
     ).reshape(ncb, dp)
