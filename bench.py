@@ -173,7 +173,10 @@ def worker():
 
     best = min(times)
     median = statistics.median(times)
-    iters_per_s = iters_run / best
+    # headline = MEDIAN of rounds (VERDICT r4 weak #3): this shared chip
+    # drifts ±10-20% across a day, so best-of-rounds inflates and makes
+    # round-to-round comparisons noise; best is still reported below
+    iters_per_s = iters_run / median
 
     # single-call latency (includes one dispatch+fetch round trip)
     t0 = time.perf_counter()
@@ -193,10 +196,19 @@ def worker():
         # (scripts/measure_native_baseline.py)
         vs_native = iters_per_s / baseline["native_cpu"]["iters_per_s"]
 
+    iqr = (
+        statistics.quantiles(times, n=4) if len(times) >= 4 else None
+    )
     out = {
         "metric": _METRIC,
         "value": round(iters_per_s, 2),
         "unit": "iter/s",
+        "headline_stat": "median of rounds",
+        "iters_per_s_best": round(iters_run / best, 2),
+        "iters_per_s_iqr": (
+            [round(iters_run / iqr[2], 2), round(iters_run / iqr[0], 2)]
+            if iqr else None
+        ),
         "vs_baseline": round(vs, 2) if vs is not None else None,
         "vs_native_cpu": round(vs_native, 2) if vs_native is not None
         else None,

@@ -27,8 +27,19 @@ from toyslam_tpu.sim import frontend, synthetic
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_to_plateau(name, make_graph, opt, n_real, plateau_rtol=1e-3):
+def run_to_plateau(name, make_graph, opt, n_real, plateau_rtol=1e-3,
+                   init=None):
     graph, poses_gt, lms_gt = make_graph()
+    ate_dr = frontend.ate_rmse(np.asarray(graph.poses)[:n_real], poses_gt)
+    init_extra = {}
+    if init is not None:
+        t0 = time.time()
+        graph = init(graph)
+        init_extra = {
+            "init_wall_s": round(time.time() - t0, 1),
+            "ate_after_init": round(frontend.ate_rmse(
+                np.asarray(graph.poses)[:n_real], poses_gt), 4),
+        }
     gn = GaussNewton(opt)
     g = jax.device_put(gn._prepare(graph))
     t0 = time.time()
@@ -75,10 +86,10 @@ def run_to_plateau(name, make_graph, opt, n_real, plateau_rtol=1e-3):
         "chi2_final": round(final, 1),
         "chi2_at_ground_truth": round(chi2_gt, 1),
         "ate_rmse": round(frontend.ate_rmse(est[:n_real], poses_gt), 4),
-        "ate_dead_reckoning": round(frontend.ate_rmse(
-            np.asarray(graph.poses)[:n_real], poses_gt), 4),
+        "ate_dead_reckoning": round(ate_dr, 4),
         "pcg_iters": np.asarray(r.pcg_iters)[:iters].tolist(),
         "platform": jax.devices()[0].platform,
+        **init_extra,
     }
     print(json.dumps(out), flush=True)
     return out
@@ -156,6 +167,31 @@ def run_100k():
         ),
         base, 100_000,
     )]
+    # default noise WITH incremental initialization (round-5 item 4):
+    # sequential prefix-window optimization keeps every solve one window
+    # of drift from its solution (optimizer/coarse_init.py), putting the
+    # full problem inside the basin that raw DR leaves at this scale
+    from toyslam_tpu.optimizer.coarse_init import incremental_init
+
+    def _init(g):
+        return incremental_init(
+            g, window=4096, iters_per_prefix=5,
+            solver_cfg=dataclasses.replace(
+                base, pcg_max_iters=30, pcg_restart_every=30,
+                pcg_precond_refresh=0,
+            ),
+        )
+
+    out.append(run_to_plateau(
+        "plateau-100k-revisit-incr-init",
+        lambda: synthetic.make_large_problem(
+            num_poses=100_000, num_landmarks=50_000, obs_per_pose=6,
+            seed=0, laps=2,
+            pose_bucket=1024, landmark_bucket=1024, edge_bucket=8192,
+        ),
+        base, 100_000,
+        init=_init,
+    ))
     import math
 
     low = NoiseConfig(position_std=0.05,

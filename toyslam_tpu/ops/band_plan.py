@@ -84,14 +84,24 @@ class BandAux:
 @dataclasses.dataclass(frozen=True)
 class GridBandAux:
     """Band layout re-addressed for the pose-major GRID storage
-    (ops/grid_schur.py): scatter sources index the flattened
+    (ops/grid_schur.py): the scatter program indexes the flattened
     ``[N*Kp, dp, dl]`` per-slot block array instead of per-edge blocks,
     so the streamed band operator builds directly from the grid
     assembly — no BlockSystem, no per-edge gathers, no chain segment-sum
-    (the grid already holds ``tupper`` positionally)."""
+    (the grid already holds ``tupper`` positionally).
 
-    scatter_src: jax.Array   # i32[Eb*dp*dl] into blk_P.reshape(-1)
-    scatter_ids: jax.Array   # i32[Eb*dp*dl] sorted-unique tile slots
+    Materialization form (round 5, measured on v5e): ONE 6-wide ROW
+    gather of the band edges' blocks (row gathers run ~4.5x faster than
+    the same elements gathered by element id) + THREE per-plane element
+    scatter-SETs whose ids are globally sorted (for a fixed plane ``a``
+    the destination order (tile, w, slot, b) is ascending) — 3.6 ms vs
+    5.5 ms for the element-gather + single-scatter form, bitwise
+    identical (scripts/exp_scatter_variants.py).  Width-2 row scatters
+    measured 3x WORSE (16 ms) — only the 1D sorted-unique element
+    scatter hits XLA's fast path."""
+
+    src_rows: jax.Array      # i32[Eb] grid slot per band edge, base-sorted
+    plane_ids: jax.Array     # i32[dp, Eb*dl] sorted tile element ids
     wide_slots: jax.Array    # i32[Ew_pad] grid slot of each wide edge
     wide_ids: jax.Array      # i32[Ew_pad] destination p*n_wide + widx
     win_off: jax.Array       # i32[n_chunks, K]
@@ -120,16 +130,21 @@ def build_grid_band(graph, p_pose, p_lm, p_mask, kp) -> GridBandAux | None:
     base = np.asarray(band.scatter_base, np.int64)
     b_dl = band.chunk_b * 2
     stride_a = band.w_row * b_dl
-    offs = np.asarray(
-        [a * stride_a + b for a in range(3) for b in range(2)], np.int64
-    )
     eb = np.nonzero(band_mask > 0)[0]
     gslot = np.asarray(
         [slot_of[(int(lp[e]), int(ll[e]))] for e in eb], np.int64
     )
-    ids6 = (base[eb][:, None] + offs[None, :]).reshape(-1)
-    src6 = (gslot[:, None] * 6 + np.arange(6)[None, :]).reshape(-1)
-    order6 = np.argsort(ids6, kind="stable")
+    # base-sorted edge order: for each plane a the element destinations
+    # (base + a*stride_a + b) are then globally ascending (b in {0,1}
+    # consecutive, bases unique per edge)
+    order_e = np.argsort(base[eb], kind="stable")
+    base_s = base[eb][order_e]
+    src_rows = gslot[order_e]
+    plane_ids = np.stack([
+        (base_s[:, None] + a * stride_a
+         + np.arange(2)[None, :]).reshape(-1)
+        for a in range(3)
+    ])
 
     wmask = np.asarray(band.wide_mask)
     widx = np.asarray(band.wide_idx, np.int64)
@@ -143,8 +158,8 @@ def build_grid_band(graph, p_pose, p_lm, p_mask, kp) -> GridBandAux | None:
         wide_ids[i] = int(lp[e]) * band.n_wide + int(widx[e])
 
     return GridBandAux(
-        scatter_src=src6[order6].astype(np.int32),
-        scatter_ids=ids6[order6].astype(np.int32),
+        src_rows=src_rows.astype(np.int32),
+        plane_ids=plane_ids.astype(np.int32),
         wide_slots=wide_slots.astype(np.int32),
         wide_ids=wide_ids.astype(np.int32),
         win_off=np.asarray(band.win_off, np.int32),

@@ -1162,11 +1162,19 @@ def build_band_operator_grid(
     el = jnp.swapaxes(_tri_inv_lower(lh), -1, -2)           # L^{-T}
     blk = bm.mm(hpl_p, el[lm_p])                            # [N, Kp, dp, dl]
 
-    vals = blk.reshape(-1)[gband.scatter_src]
+    # one 6-wide ROW gather (4.5x the element-gather rate) + three
+    # per-plane element scatter-SETs with globally sorted ids — measured
+    # 3.6 vs 5.5 ms for the element-gather single-scatter form at 10k,
+    # bitwise identical (scripts/exp_scatter_variants.py; width-2 row
+    # scatters are 3x WORSE — only the 1D sorted-unique element scatter
+    # hits XLA's fast path)
+    rows = blk.reshape(-1, dp * dl)[gband.src_rows].reshape(-1, dp, dl)
     flat = jnp.zeros((n_tiles * dp * stride_a,), _f32)
-    flat = flat.at[gband.scatter_ids].set(
-        vals, indices_are_sorted=True, unique_indices=True
-    )
+    for a in range(dp):
+        flat = flat.at[gband.plane_ids[a]].set(
+            rows[:, a, :].reshape(-1),
+            indices_are_sorted=True, unique_indices=True,
+        )
     tiles = flat.reshape(
         gband.n_chunks, gband.k_windows, dp, w_row, b_dl
     )
