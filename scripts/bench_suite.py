@@ -138,7 +138,14 @@ def _flop_byte_model_10k(n, m, e1, e2, pcg_iters, levels=14, nc=320):
     return flops, bytes_
 
 
-def bench_ba3d(reps=5, rounds=3):
+def bench_ba3d(reps=5, rounds=3, num_poses=128, num_landmarks=512,
+               matched_budget=False):
+    """fused-vs-XLA SE(3)/BA A/B.  ``matched_budget=True`` pins BOTH
+    sides to an identical fixed PCG budget (tol 0, cap 64) so the ratio
+    isolates kernel speed — the convergence-policy rows alone conflate
+    the fused true-residual exit with per-iteration speed (VERDICT r4
+    weak #4: the XLA leg stalls at the 200-iteration cap on early GN
+    iterations where the fused exit does not)."""
     import jax.numpy as jnp
 
     from toyslam_tpu.config import OptimizerConfig
@@ -147,7 +154,8 @@ def bench_ba3d(reps=5, rounds=3):
     from toyslam_tpu.sim import synthetic3d
 
     graph, poses_gt, _ = synthetic3d.make_ba_problem(
-        num_poses=128, num_landmarks=512, obs_per_pose=24, seed=0,
+        num_poses=num_poses, num_landmarks=num_landmarks,
+        obs_per_pose=24, seed=0,
     )
     n = poses_gt.shape[0]
 
@@ -163,13 +171,23 @@ def bench_ba3d(reps=5, rounds=3):
 
     out = []
     for backend in ("fused", "xla"):
-        cfg = OptimizerConfig(
-            iterations=20, lr=1.0, solver="schur3d",
-            exact_odom_jacobians=True, huber_delta=4.0,
-            pcg_tol=1e-6, pcg_max_iters=200, convergence_eps=1e-8,
-            reject_worse_steps=True, pcg_backend=backend,
-            pcg_precond="tridiag", pcg_fused_chunk=16,
-        )
+        if matched_budget:
+            cfg = OptimizerConfig(
+                iterations=20, lr=1.0, solver="schur3d",
+                exact_odom_jacobians=True, huber_delta=4.0,
+                pcg_tol=0.0, pcg_max_iters=64, pcg_restart_every=64,
+                convergence_eps=1e-8,
+                reject_worse_steps=True, pcg_backend=backend,
+                pcg_precond="tridiag", pcg_fused_chunk=16,
+            )
+        else:
+            cfg = OptimizerConfig(
+                iterations=20, lr=1.0, solver="schur3d",
+                exact_odom_jacobians=True, huber_delta=4.0,
+                pcg_tol=1e-6, pcg_max_iters=200, convergence_eps=1e-8,
+                reject_worse_steps=True, pcg_backend=backend,
+                pcg_precond="tridiag", pcg_fused_chunk=16,
+            )
         gn = GaussNewton(cfg)
         g = jax.device_put(gn._prepare(graph))
         r = gn.optimize(g)
@@ -187,7 +205,10 @@ def bench_ba3d(reps=5, rounds=3):
         errs = np.asarray(r.errors)
         valid = errs[~np.isnan(errs)]
         rec = {
-            "config": f"ba3d-128x512-{backend}",
+            "config": (
+                f"ba3d-{num_poses}x{num_landmarks}-{backend}"
+                + ("-matched64" if matched_budget else "")
+            ),
             "poses": n,
             "landmarks": int(np.asarray(graph.lm_mask).sum()),
             "lm_edges": int(np.asarray(graph.lm_edges.mask).sum()),
@@ -308,6 +329,8 @@ def main():
     # reprojection RMSE + translation ATE + iter/s, and the fused(dp=6)
     # vs XLA PCG A/B on the identical problem (VERDICT r3 missing #2).
     results.extend(bench_ba3d())
+    # matched-PCG-budget pair: isolates kernel speed from exit policy
+    results.extend(bench_ba3d(matched_budget=True))
 
     path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "..", "BENCH_SUITE.json"

@@ -11,10 +11,13 @@ landmark from adjacent rows).
 This module finds that structure host-side and fixes a static layout the
 kernel can stream:
 
-* every landmark gets a unique BASE pose ≤ its first observation
-  (parking-style assignment, so each chunk of ``B`` consecutive bases owns
-  ≤ B landmark columns);
-* per base-chunk, the observation runs of its landmarks are clustered
+* chunks index the LANDMARK space: chunk ``c`` owns the ``B`` landmarks
+  ``order[c*B:(c+1)*B]`` in first-observation order, so a chunk's
+  landmarks were discovered together and share observation windows
+  (round 4 parked landmarks onto unique POSE bases, which left
+  ``1 - m/n`` of every chunk's columns empty whenever landmarks are
+  scarcer than poses — at 100k, m = n/2, that DOUBLED the stack);
+* per chunk, the observation runs of its landmarks are clustered
   into ≤ ``K`` row-windows of fixed width ``Wrow`` (greedy interval
   clustering); landmarks that do not fit spill to a small set of
   full-height "wide" columns (handled like loop-closure columns);
@@ -73,11 +76,16 @@ class BandAux:
     w_row: int = dataclasses.field(metadata=dict(static=True), default=192)
     n_chunks: int = dataclasses.field(metadata=dict(static=True), default=0)
     n_wide: int = dataclasses.field(metadata=dict(static=True), default=0)
+    # block geometry the layout was built for: (3, 2) = SE(2), (6, 3) =
+    # SE(3)/BA — fused_mode refuses a mismatched graph
+    dp: int = dataclasses.field(metadata=dict(static=True), default=3)
+    dl: int = dataclasses.field(metadata=dict(static=True), default=2)
 
     @property
     def tile_bytes(self) -> int:
-        b_dl = self.chunk_b * 2
-        return self.n_chunks * self.k_windows * 3 * self.w_row * b_dl * 4
+        b_dl = self.chunk_b * self.dl
+        return (self.n_chunks * self.k_windows * self.dp * self.w_row
+                * b_dl * 4)
 
 
 @jax.tree_util.register_dataclass
@@ -183,29 +191,23 @@ def _runs(poses: np.ndarray, gap: int = 8):
 
 
 def _try_layout(n, obs_by_lm, first_obs, order, B, K, Wrow, spill_cap):
-    """Greedy layout attempt; returns (win_off, base_of_lm, wide_lms) or
-    None if more than ``spill_cap`` landmarks spill."""
-    n_chunks = -(-n // B)
-    # parking: unique base per landmark, ascending by first observation —
-    # the base only selects the landmark's COLUMN chunk (windows are
-    # anchored on the runs, not the base), so it may exceed first_obs;
-    # pile-ups just displace chunks slightly, widening cluster spread
-    base_of = {}
-    wide = []
-    next_free = 0
-    for m in order:          # ascending first_obs
-        b = max(int(first_obs[m]), next_free)
-        if b >= n:
-            wide.append(m)
-            continue
-        base_of[m] = b
-        next_free = b + 1
-    # cluster runs per chunk
+    """Greedy layout attempt; returns (win_off, col_of, wide_lms) or
+    None if more than ``spill_cap`` landmarks spill.
+
+    Chunks index the LANDMARK space: chunk ``c`` owns landmarks
+    ``order[c*B : (c+1)*B]`` (first-observation order, so a chunk's
+    landmarks were discovered together and share observation windows).
+    Round 4 parked landmarks onto unique POSE bases instead, which left
+    ``(1 - m/n)`` of every chunk's columns empty whenever landmarks are
+    scarcer than poses — at 100k (m = n/2) that DOUBLED the streamed
+    stack.  ``col_of[lm] = (chunk, slot)``."""
+    m_real = len(order)
+    n_chunks = max(1, -(-m_real // B))
     win_off = np.zeros((n_chunks, K), np.int64)
-    by_chunk = {}
-    for m, b in base_of.items():
-        by_chunk.setdefault(b // B, []).append(m)
-    for c, lms in by_chunk.items():
+    col_of = {}
+    wide = []
+    for c in range(n_chunks):
+        lms = order[c * B: (c + 1) * B]
         ivs = []
         for m in lms:
             for lo, hi in _runs(obs_by_lm[m]):
@@ -228,9 +230,11 @@ def _try_layout(n, obs_by_lm, first_obs, order, B, K, Wrow, spill_cap):
                 wins.append([lo_q])
                 continue
             bad.add(m)
-        for m in bad:
-            del base_of[m]
-            wide.append(m)
+        for slot, m in enumerate(lms):
+            if m in bad:
+                wide.append(m)
+            else:
+                col_of[m] = (c, slot)
         if len(wide) > spill_cap:
             return None
         for k, wv in enumerate(wins):
@@ -239,22 +243,117 @@ def _try_layout(n, obs_by_lm, first_obs, order, B, K, Wrow, spill_cap):
             win_off[c, k] = win_off[c, max(len(wins) - 1, 0)]
     if len(wide) > spill_cap:
         return None
-    return win_off, base_of, wide
+    return win_off, col_of, wide
+
+
+_SEARCH_DL2 = (
+    (64, 2, 256), (64, 3, 256), (64, 4, 256), (64, 3, 384),
+    (64, 4, 384), (128, 2, 256), (128, 3, 256), (128, 4, 256),
+    (128, 3, 384), (128, 4, 384), (64, 6, 256),
+    (64, 8, 256), (64, 6, 384), (64, 10, 256), (64, 12, 256),
+    (64, 2, 768), (128, 2, 896), (64, 12, 384), (128, 6, 256),
+    (128, 8, 256),
+    # wide-window low-K shapes: at 100k the K=8/W=256 layout pays
+    # ~0.44 us per (chunk, window) of in-kernel fixed cost — 12.5k
+    # windows = 5.5 ms/matvec on top of the 5.8 ms stream; two wide
+    # windows (one per lap) cut that 8x (see _layout_score)
+    (64, 2, 512), (128, 2, 512), (256, 2, 512), (128, 2, 768),
+    (256, 2, 768), (192, 2, 768), (128, 3, 512), (256, 3, 512),
+    (256, 4, 384), (192, 2, 512), (128, 10, 256), (128, 6, 512),
+)
+# dl=3 (SE(3)/BA): B*dl must be a multiple of 128 (kernel lane dim), so
+# B in {128, 256}; BA observations are runs of obs_per_pose consecutive
+# poses, so narrow windows suffice
+_SEARCH_DL3 = (
+    (128, 2, 128), (128, 2, 256), (128, 3, 128), (128, 3, 256),
+    (128, 2, 384), (128, 4, 128), (128, 4, 256), (256, 2, 128),
+    (256, 2, 256), (128, 3, 384),
+)
+
+
+def _dense_streamed_layout(
+    graph, dp: int, dl: int, max_bytes: int = 4 << 30,
+) -> BandAux | None:
+    """Degenerate band layout: ONE full-height window, landmark-chunked
+    columns — the tile stack IS the dense V in chunk-blocked form,
+    streamed from HBM by the unchanged band kernel.
+
+    This is the BA-at-scale case (round-5 item 8): ring-camera BA graphs
+    have no run-local observation structure (every landmark is visible
+    from a wide random arc), so the banded search rightly fails — but
+    the dense V (dp*dl*n*m*4 bytes; 151 MB at 512x4096) streams in
+    ~0.2 ms at the measured 855-916 GB/s where the VMEM-resident mode
+    caps out at ~24 MB.  Gated by ``max_bytes``."""
+    n, m = graph.num_poses, graph.num_landmarks
+    b = 128 if (64 * dl) % 128 else 64
+    w_row = -(-n // 128) * 128
+    n_chunks = -(-m // b)
+    b_dl = b * dl
+    if n_chunks * dp * w_row * b_dl * 4 > max_bytes:
+        return None
+    lp = np.asarray(graph.lm_edges.pose)
+    ll = np.asarray(graph.lm_edges.lm)
+    msk = np.asarray(graph.lm_edges.mask) > 0
+    e_all = lp.shape[0]
+    real = np.nonzero(msk)[0]
+    if real.size == 0:
+        return None
+    pair_key = lp[real].astype(np.int64) * np.int64(ll.max() + 1) + ll[real]
+    if np.unique(pair_key).shape[0] != real.shape[0]:
+        return None
+    stride_a = w_row * b_dl
+    c = ll[real].astype(np.int64) // b
+    slot = ll[real].astype(np.int64) - c * b
+    scatter_base = np.zeros(e_all, np.int64)
+    scatter_base[real] = (
+        (c * dp + 0) * stride_a + lp[real].astype(np.int64) * b_dl
+        + slot * dl
+    )
+    band_mask = np.zeros(e_all, np.float32)
+    band_mask[real] = 1.0
+    dd = dp * dl
+    offs = np.asarray(
+        [a * stride_a + bb for a in range(dp) for bb in range(dl)],
+        np.int64,
+    )
+    ids = (scatter_base[real][:, None] + offs[None, :]).reshape(-1)
+    src = (real[:, None] * dd + np.arange(dd)[None, :]).reshape(-1)
+    order = np.argsort(ids, kind="stable")
+    return BandAux(
+        scatter_base=scatter_base.astype(np.int32),
+        band_mask=band_mask,
+        win_off=np.zeros((n_chunks, 1), np.int32),
+        wide_idx=np.zeros(e_all, np.int32),
+        wide_mask=np.zeros(e_all, np.float32),
+        scatter_src=src[order].astype(np.int32),
+        scatter_ids=ids[order].astype(np.int32),
+        wide_edges=np.full((64,), e_all, np.int32),
+        chunk_b=b, k_windows=1, w_row=int(w_row),
+        n_chunks=int(n_chunks), n_wide=0, dp=dp, dl=dl,
+    )
 
 
 def build_band_aux(
-    graph, spill_cap: int = 56,
-    search=((64, 2, 256), (64, 3, 256), (64, 4, 256), (64, 3, 384),
-            (64, 4, 384), (128, 2, 256), (128, 3, 256), (128, 4, 256),
-            (128, 3, 384), (128, 4, 384), (64, 6, 256),
-            (64, 8, 256), (64, 6, 384), (64, 10, 256), (64, 12, 256),
-            (64, 2, 768), (128, 2, 896), (64, 12, 384), (128, 6, 256),
-            (128, 8, 256)),
+    graph, spill_cap: int = 56, search=None, dp: int = 3, dl: int = 2,
 ) -> BandAux | None:
-    """Host-side structure search.  Returns None when no searched
-    (B, K, Wrow) covers the workload within the spill cap — callers fall
-    back to the XLA grid path."""
+    """Host-side structure search.  Returns the dense-streamed degenerate
+    layout (:func:`_dense_streamed_layout`) when no searched (B, K, Wrow)
+    covers the workload within the spill cap and the dense stack is
+    HBM-reasonable; None otherwise — callers fall back to the XLA path.
+    ``(dp, dl)`` = per-pose/per-landmark block sizes ((3,2) SE(2), (6,3)
+    SE(3)/BA); candidate layouts must keep ``B*dl`` a multiple of 128
+    (the kernel's lane alignment)."""
+    if search is None:
+        search = _SEARCH_DL2 if dl == 2 else _SEARCH_DL3
+    search = tuple(c for c in search if (c[0] * dl) % 128 == 0)
     n = graph.num_poses
+    # wide columns live VMEM-RESIDENT in the kernel (dp*dl*n*4 bytes
+    # each — 2.4 MB per column at 100k): cap the spill by an ~8 MB slab
+    # budget so the layout search can't produce a stack the VMEM gate
+    # then rejects wholesale
+    spill_cap = min(
+        spill_cap, max(4, (8 << 20) // max(dp * dl * n * 4, 1))
+    )
     lp = np.asarray(graph.lm_edges.pose)
     ll = np.asarray(graph.lm_edges.lm)
     msk = np.asarray(graph.lm_edges.mask) > 0
@@ -290,21 +389,31 @@ def build_band_aux(
                           spill_cap)
         if got is None:
             continue
-        bytes_ = (-(-n // B)) * K * 3 * Wrow * (B * 2) * 4
+        bytes_ = (-(-len(order) // B)) * K * dp * Wrow * (B * dl) * 4
         cands.append((bytes_, B, K, Wrow, got))
     if not cands:
-        return None
-    # minimize streamed bytes, but prefer LARGER chunks within 25% of the
-    # minimum: DMA bandwidth rises with chunk size (measured on v5e:
-    # ~506 GB/s at 1.1 MB chunks vs ~855 GB/s at 4.5 MB), so a slightly
-    # fatter stack that streams faster wins
-    best_bytes = min(c[0] for c in cands)
-    _, B, K, Wrow, (win_off, base_of, wide) = max(
-        (c for c in cands if c[0] <= 1.25 * best_bytes),
-        key=lambda c: (c[1], -c[0]),
-    )
-    n_chunks = -(-n // B)
-    b_dl = B * 2
+        # no run-local structure (e.g. ring-camera BA) — stream dense V
+        return _dense_streamed_layout(graph, dp, dl)
+    # select by MODELED per-matvec stream time, not raw bytes (round 5):
+    #   t = bytes / 855 GB/s  +  n_windows * 0.44 us
+    # 855 GB/s = the measured tile-stream rate; 0.44 us/(chunk, window)
+    # = the measured in-kernel fixed cost per window (dynamic-slice dots
+    # + wacc updates: the 10k kernel's 0.43 ms marginal decomposes as
+    # 0.22 ms stream + 480 windows x 0.44 us, and the 100k K=8 layout's
+    # 13.7 ms/iter as 5.8 stream + 12.5k windows — byte-minimizing
+    # selection picked that K=8 layout and LOST 2x to a wide-window K=2
+    # shape with a slightly fatter stack)
+    _STREAM_BW = 855e9
+    _C_WIN = 0.44e-6
+    m_real = len(order)
+
+    def _score(c):
+        bytes_, B, K, _, _ = c
+        return bytes_ / _STREAM_BW + (-(-m_real // B)) * K * _C_WIN
+
+    _, B, K, Wrow, (win_off, col_of, wide) = min(cands, key=_score)
+    n_chunks = max(1, -(-m_real // B))
+    b_dl = B * dl
 
     wide_slot = {int(m): i for i, m in enumerate(sorted(wide))}
     n_wide = len(wide)
@@ -320,11 +429,10 @@ def build_band_aux(
             wide_idx[e] = wide_slot[m]
             wide_mask[e] = 1.0
             continue
-        b = base_of.get(m)
-        if b is None:       # unobserved-but-padded ids can't reach here
+        cs = col_of.get(m)
+        if cs is None:      # unobserved-but-padded ids can't reach here
             continue
-        c = b // B
-        slot = b - c * B
+        c, slot = cs
         k_found = -1
         for k in range(K):
             off = int(win_off[c, k])
@@ -335,8 +443,9 @@ def build_band_aux(
         # flat index of (c, k, a=0, p-off, slot*dl+b=0) in
         # [n_chunks, K, dp, Wrow, B*dl]
         scatter_base[e] = (
-            (((c * K + k_found) * 3 + 0) * Wrow + (p - int(win_off[c, k_found])))
-            * b_dl + slot * 2
+            (((c * K + k_found) * dp + 0) * Wrow
+             + (p - int(win_off[c, k_found])))
+            * b_dl + slot * dl
         )
         band_mask[e] = 1.0
 
@@ -347,11 +456,12 @@ def build_band_aux(
     # indices_are_sorted/unique_indices holds exactly the segment-sum.
     eb = np.nonzero(band_mask > 0)[0]
     stride_a = Wrow * b_dl
+    dd = dp * dl
     offs = np.asarray(
-        [a * stride_a + b for a in range(3) for b in range(2)], np.int64
+        [a * stride_a + b for a in range(dp) for b in range(dl)], np.int64
     )
     ids6 = (scatter_base[eb][:, None] + offs[None, :]).reshape(-1)
-    src6 = (eb[:, None] * 6 + np.arange(6)[None, :]).reshape(-1)
+    src6 = (eb[:, None] * dd + np.arange(dd)[None, :]).reshape(-1)
     order6 = np.argsort(ids6, kind="stable")
 
     we = np.nonzero(wide_mask > 0)[0]
@@ -369,5 +479,5 @@ def build_band_aux(
         scatter_ids=ids6[order6].astype(np.int32),
         wide_edges=wide_edges.astype(np.int32),
         chunk_b=B, k_windows=K, w_row=Wrow,
-        n_chunks=n_chunks, n_wide=n_wide,
+        n_chunks=n_chunks, n_wide=n_wide, dp=dp, dl=dl,
     )

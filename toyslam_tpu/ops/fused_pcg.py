@@ -1379,7 +1379,8 @@ def fused_mode(cfg, graph, axis_name) -> str | None:
     if 4 * (dp * n * mw + shared) <= VMEM_BUDGET_BYTES:
         return "resident"
     band = getattr(graph.plan, "band", None)
-    if band is None or dp != 3:
+    if band is None or getattr(band, "dp", 3) != dp \
+            or getattr(band, "dl", 2) != dl:
         return None
     mwb = band.n_wide * dl + dp * c
     b_dl = band.chunk_b * dl

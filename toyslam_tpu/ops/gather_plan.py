@@ -117,13 +117,19 @@ def build_gather_plan(
     od_j = np.asarray(graph.odom.j)
     od_mask = np.asarray(graph.odom.mask)
     closure = np.nonzero((od_mask > 0) & (od_j != od_i + 1))[0].astype(np.int32)
+    # block geometry off the state arrays: (3, 2) = SE(2), (6, 3) = BA
+    dl = int(np.asarray(graph.landmarks).shape[-1])
+    dp = 3 if dl == 2 else 6
+    # the VMEM-resident fused operator covers small graphs; the banded
+    # search only pays off (and only runs, ~0.5 s host) at scale.  The
+    # SE(3) threshold is lower: the resident V slabs are dp*dl/6 = 3x
+    # bigger per (pose, landmark), so the VMEM budget runs out earlier.
+    band_threshold = 2048 if dl == 2 else 192
     band = None
-    if n >= 2048 and want_band is not False:
-        # the VMEM-resident fused operator covers small graphs; the banded
-        # search only pays off (and only runs, ~0.5 s host) at scale
+    if n >= band_threshold and want_band is not False:
         from toyslam_tpu.ops.band_plan import build_band_aux
 
-        band = build_band_aux(graph)
+        band = build_band_aux(graph, dp=dp, dl=dl)
     return GatherPlan(
         lm_by_pose=_build_table(lm_pose, lm_mask, n),
         lm_by_lm=_build_table(lm_lm, lm_mask, m),
