@@ -277,16 +277,16 @@ def main():
     # solver="schur_grid": dual-order grid storage (ops/grid_schur.py) —
     # measured 54.3 vs 37.4 GN-iter/s against the general path on this
     # exact config at identical chi2/pcg trajectories (BENCH_GRID.json).
-    # pcg_backend="fused" routes the PCG loop through the streamed band
-    # kernel fed from the grid assembly (grid_schur._band_mode +
-    # fused_pcg band mode w/ the fold coarse): 58.0 vs 51.1 GN-iter/s on
-    # this config at chi^2 rel dev 2.6e-4 (BENCH_BAND.json, round 4)
+    # pcg_backend="auto": the framework's measured cost gate
+    # (grid_schur._band_cost_wins, round 5 — no per-workload solver
+    # override) selects the streamed band kernel here: 60.1 vs 50.3
+    # GN-iter/s same-session at chi^2 rel dev 3e-4 (exp_band10k_r5)
     opt = OptimizerConfig(
         iterations=15, lr=1.0, solver="schur_grid",
         exact_odom_jacobians=True, pcg_tol=1e-2,
         pcg_max_iters=15, pcg_restart_every=15,
         pcg_precond="tridiag+coarse", pcg_coarse_group=32,
-        pcg_precond_refresh=5, pcg_backend="fused", pcg_fused_chunk=15,
+        pcg_precond_refresh=5, pcg_backend="auto", pcg_fused_chunk=15,
     )
     n, m = graph.num_poses, graph.num_landmarks
     flops, bytes_ = _flop_byte_model_10k(
@@ -311,10 +311,10 @@ def main():
         num_poses=10_000, num_landmarks=5_000, obs_per_pose=6, seed=0,
         laps=2,
     )
-    # XLA grid backend here: the laps=2 band layout needs K=4 windows of
-    # W=384 (each landmark's observations arrive once per lap) — a 2x
-    # bigger tile stream per matvec — and measured 45.4 vs 63.7 GN-iter/s
-    # against the grid loop on this row; the band win is workload-shaped
+    # pcg_backend stays "auto": with the round-5 landmark-chunked
+    # relayout the laps=2 stack shrank 377 -> 179 MB and the measured
+    # winner FLIPPED to the band kernel (70.8 vs 63.5 GN-iter/s,
+    # exp_band10k_r5) — the cost gate selects it
     results.append(bench_one(
         "large-sparse-10k-revisit",
         graph,

@@ -16,6 +16,7 @@ BENCH_PLATEAU quality gate; default-noise initialization is item 4's
 separate fix).
 """
 
+import dataclasses
 import json
 import math
 import os
@@ -82,10 +83,14 @@ def main():
     )
     n_real = poses_gt.shape[0]
 
+    # cg128 (nc=784): the cg64 coarse build (S_c fill product + a
+    # dim-4704 Newton-Schulz inverse) measured 654 ms — 131 ms/GN
+    # amortized; nc=784 is 4-8x cheaper and 128 still divides 128 (the
+    # in-kernel fold-coarse group constraint)
     common = dict(
         iterations=10, lr=1.0, exact_odom_jacobians=True,
         pcg_tol=1e-3, pcg_max_iters=60, pcg_restart_every=30,
-        pcg_precond="jacobi+coarse", pcg_coarse_group=64,
+        pcg_precond="jacobi+coarse", pcg_coarse_group=128,
         pcg_precond_refresh=5,
     )
     grid = OptimizerConfig(solver="schur_grid", pcg_backend="xla",
@@ -106,8 +111,26 @@ def main():
         "band VMEM gate rejected jacobi+fold-coarse at 100k"
 
     rows = [
-        bench("grid-100k-jacobi-cg64", graph, poses_gt, grid, n_real),
-        bench("band-100k-jacobi-cg64", graph, poses_gt, band, n_real),
+        bench("grid-100k-jacobi-cg128", graph, poses_gt, grid, n_real),
+        bench("band-100k-jacobi-cg128", graph, poses_gt, band, n_real),
+        bench("band-100k-jacobi-cg128-cap30", graph, poses_gt,
+              dataclasses.replace(
+                  band, pcg_max_iters=30, pcg_restart_every=30,
+                  pcg_fused_chunk=15, iterations=20,
+              ), n_real),
+        # budget scan (all plateau at the same chi^2; wall-to-plateau is
+        # the config-robust metric): cap-20 maximizes GN-iter/s, cap-40
+        # minimizes wall-to-plateau
+        bench("band-100k-jacobi-cg128-cap20", graph, poses_gt,
+              dataclasses.replace(
+                  band, pcg_max_iters=20, pcg_restart_every=20,
+                  pcg_fused_chunk=10, iterations=24,
+              ), n_real),
+        bench("band-100k-jacobi-cg128-cap40", graph, poses_gt,
+              dataclasses.replace(
+                  band, pcg_max_iters=40, pcg_restart_every=40,
+                  pcg_fused_chunk=20, iterations=14,
+              ), n_real),
     ]
     # the round-4 parity row used tridiag+coarse on the grid loop —
     # re-run it same-session as the strongest XLA opponent
@@ -115,7 +138,7 @@ def main():
         solver="schur_grid", pcg_backend="xla",
         **{**common, "pcg_precond": "tridiag+coarse"},
     )
-    rows.append(bench("grid-100k-tridiag-cg64", graph, poses_gt, tricfg,
+    rows.append(bench("grid-100k-tridiag-cg128", graph, poses_gt, tricfg,
                       n_real))
 
     chi_match = abs(rows[0]["chi2_last"] - rows[1]["chi2_last"]) / max(
@@ -139,7 +162,7 @@ def main():
             rows[1]["iters_per_s"] / rows[0]["iters_per_s"], 2
         ),
         "speedup_vs_grid_tridiag": round(
-            rows[1]["iters_per_s"] / rows[2]["iters_per_s"], 2
+            rows[1]["iters_per_s"] / rows[3]["iters_per_s"], 2
         ),
         "configs": rows,
     }

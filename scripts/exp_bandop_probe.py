@@ -68,16 +68,13 @@ def main():
     flat_size = n_tiles * 3 * stride_a
 
     def piece_scatter(blk):
-        rows = blk.reshape(-1, 6)[gb.src_rows].reshape(-1, 3, 2)
+        rows = blk.reshape(-1, 6)[gb.src_rows]
         flat = jnp.zeros((flat_size,), jnp.float32)
-        for a in range(3):
-            flat = flat.at[gb.plane_ids[a]].set(
-                rows[:, a, :].reshape(-1),
-                indices_are_sorted=True, unique_indices=True,
-            )
+        flat = flat.at[gb.elem_ids].set(rows.reshape(-1),
+                                        unique_indices=True)
         return jnp.sum(flat)
 
-    report("row gather + 3-plane scatter (full)", jax.jit(piece_scatter),
+    report("row gather + unsorted scatter (full)", jax.jit(piece_scatter),
            blk, reps=10)
 
     def piece_zeros():

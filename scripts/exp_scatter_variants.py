@@ -41,8 +41,8 @@ def main():
     # reconstruct from the (round-5) plane-structured program: edges in
     # base-sorted order with per-plane sorted element ids
     gslot = np.asarray(gb.src_rows, np.int64)
-    pids = np.asarray(gb.plane_ids, np.int64)
-    base = pids[0].reshape(-1, 2)[:, 0]
+    eids = np.asarray(gb.elem_ids, np.int64)
+    base = eids.reshape(-1, 6)[:, 0]
     eb = gslot.shape[0]
     n_tiles = gb.n_chunks * gb.k_windows
     stride_a = gb.w_row * gb.chunk_b * 2

@@ -28,15 +28,30 @@ from toyslam_tpu.sim import synthetic
 
 def main():
     n_poses = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000
-    graph, poses_gt, _ = synthetic.make_large_problem(
-        num_poses=n_poses, num_landmarks=n_poses, obs_per_pose=6, seed=0,
-    )
+    precond = sys.argv[2] if len(sys.argv) > 2 else "tridiag+coarse"
+    cg = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    cap = int(sys.argv[4]) if len(sys.argv) > 4 else 15
+    if n_poses >= 50_000:
+        import math
+        from toyslam_tpu.config import NoiseConfig
+        noise = NoiseConfig(position_std=0.05,
+                            orientation_std=math.radians(0.2))
+        graph, poses_gt, _ = synthetic.make_large_problem(
+            num_poses=n_poses, num_landmarks=n_poses // 2,
+            obs_per_pose=6, seed=0, laps=2, noise=noise,
+            pose_bucket=1024, landmark_bucket=1024, edge_bucket=8192,
+        )
+    else:
+        graph, poses_gt, _ = synthetic.make_large_problem(
+            num_poses=n_poses, num_landmarks=n_poses, obs_per_pose=6,
+            seed=0,
+        )
     cfg = OptimizerConfig(
         iterations=15, lr=1.0, solver="schur_grid",
         exact_odom_jacobians=True, pcg_tol=1e-2,
-        pcg_max_iters=15, pcg_restart_every=15,
-        pcg_precond="tridiag+coarse", pcg_coarse_group=32,
-        pcg_precond_refresh=5, pcg_backend="fused", pcg_fused_chunk=15,
+        pcg_max_iters=cap, pcg_restart_every=cap,
+        pcg_precond=precond, pcg_coarse_group=cg,
+        pcg_precond_refresh=5, pcg_backend="fused", pcg_fused_chunk=cap,
     )
     gp = grid_schur.build_grid_plan(graph)
     graph = jax.device_put(dataclasses.replace(graph, plan=gp))
@@ -124,7 +139,7 @@ def main():
     t2 = report("P2 + band operator (tile scatter)",
                 jax.jit(p2_bandop), graph, lam)
     t3 = report("P3 + schur rhs", jax.jit(p3_rhs), graph, lam)
-    t4 = report("P4 + band kernel solve (15 it)",
+    t4 = report(f"P4 + band kernel solve ({cap} it)",
                 jax.jit(p4_solve), graph, lam, pre, reps=5)
     t5 = report("P5 solve_once frozen (backsub incl)",
                 jax.jit(p5_full), graph, lam, pre, reps=5)

