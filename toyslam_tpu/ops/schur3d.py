@@ -169,11 +169,13 @@ def schur3d_linearize_solve(cfg: OptimizerConfig, axis_name: str | None = None):
         # don't admit the chol(W) column fold-in).
         from toyslam_tpu.ops import fused_pcg as fp
 
-        if fp.fused_supported(cfg, graph, axis_name):
+        fmode = fp.fused_mode(cfg, graph, axis_name)
+        if fmode is not None:
             dx_p, dx_l, stats = fp.fused_schur_solve(
                 sys, graph, lam, cfg.pcg_tol, cfg.pcg_max_iters,
                 cfg.pcg_precond, cfg.pcg_coarse_group,
                 cfg.pcg_fused_chunk, cfg.pcg_restart_every,
+                mode=fmode,
             )
             return dx_p, dx_l, sys.err, stats
         if cfg.pcg_backend == "fused":
