@@ -266,6 +266,22 @@ def incremental_init(
 
     lmeas = np.asarray(graph.lm_edges.meas, np.float64)
 
+    # first observation EDGE per landmark (for fresh-landmark re-init):
+    # graph.landmarks was initialized by the frontend pushing the first
+    # observation through the DEAD-RECKONED pose — but this loop re-bases
+    # every window onto the optimized-prefix frame, which diverges from
+    # the raw DR frame by the full accumulated drift (hundreds of units
+    # at 100k/default noise).  A landmark first seen in the new window
+    # must therefore be re-initialized from its first observation through
+    # the CURRENT pose estimate, or the window solve starts with huge
+    # landmark residuals outside its basin (the measured 100k failure).
+    e_real = np.nonzero(lmask)[0]
+    order_first = np.lexsort((lp[e_real], ll[e_real]))
+    lm_sorted = ll[e_real][order_first]
+    uniq_lm, uniq_at = np.unique(lm_sorted, return_index=True)
+    first_edge = np.full(m_total, -1, np.int64)
+    first_edge[uniq_lm] = e_real[order_first][uniq_at]
+
     def _align_window(poses, landmarks, lo, hi):
         """Rigid SE(2) fit of the window's predicted old-landmark points
         onto their map estimates (correspondences by landmark ID —
@@ -311,7 +327,19 @@ def incremental_init(
 
     for hi in range(window, n + window, window):
         hi = min(hi, n)
-        poses = _align_window(poses, landmarks, max(hi - window, 0), hi)
+        lo = max(hi - window, 0)
+        poses = _align_window(poses, landmarks, lo, hi)
+        # re-initialize landmarks first seen in this window from their
+        # first observation through the re-based (aligned) pose
+        fresh = np.nonzero((first_pose >= lo) & (first_pose < hi))[0]
+        if fresh.size:
+            fe = first_edge[fresh]
+            mm = lmeas[fe]
+            pt_body = np.stack([mm[:, 0] * np.cos(mm[:, 1]),
+                                mm[:, 0] * np.sin(mm[:, 1])], axis=-1)
+            landmarks[fresh] = _transform_point(
+                poses[lp[fe]], pt_body
+            ).astype(landmarks.dtype)
         pose_mask = np.where(np.arange(graph.num_poses) < hi,
                              full_pose_mask, 0.0).astype(np.float32)
         lm_mask = np.where(first_pose < hi, full_lm_mask, 0.0).astype(
@@ -331,7 +359,7 @@ def incremental_init(
         r = gn.optimize(g_k)
         opt_poses = np.asarray(r.graph.poses, np.float64)
         poses[:hi] = opt_poses[:hi]
-        landmarks = np.asarray(r.graph.landmarks)
+        landmarks = np.array(r.graph.landmarks)
         if hi < n:
             # dead-reckon the NEXT window from the optimized prefix end
             nxt = min(hi + window, n)
