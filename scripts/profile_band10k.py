@@ -192,6 +192,17 @@ def main():
         - results["precond_amortized_ms"], 3)
     results["platform"] = jax.devices()[0].platform
     print(json.dumps(results))
+    # committed phase-breakdown artifact (VERDICT r4 next-step 3)
+    import os as _os
+    import time as _t
+    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    path = _os.path.join(repo, "PROFILE_BAND10K.json")
+    results["config"] = dict(
+        n_poses=n_poses, precond=precond, coarse_group=cg, pcg_cap=cap)
+    results["measured_at"] = _t.strftime("%Y-%m-%d %H:%M:%S")
+    with open(path, "w") as f:
+        json.dump(results, f, indent=1)
+    print(f"wrote {path}")
 
 
 if __name__ == "__main__":
